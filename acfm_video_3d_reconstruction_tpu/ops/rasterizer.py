@@ -1,0 +1,329 @@
+"""Differentiable mesh rasterization, pure JAX (TPU reference path).
+
+Replaces the reference's PyTorch3D renderer stack
+(monocular/nnutils/nmr.py:73-290, multiframe/nnutils/nmr.py:54-240) with a
+dense, static-shape formulation that XLA fuses into a handful of kernels.
+A Pallas kernel with identical semantics lives in ops/rasterizer_pallas.py
+and is golden-tested against this module.
+
+Coordinate frame
+----------------
+Vertices arrive already projected by the weak-perspective camera
+(geometry/camera.orthographic_proj_withz): (x, y) in [-1, 1] with x right,
+y *down* (the keypoint convention), z = depth with smaller-z closer.
+
+The reference's apparent complexity — flip y, look_at(eye=(0,0,-2.732)),
+R[0,0] *= -1, SfMOrthographicCameras NDC with +x left / +y up — composes to
+exactly this identity mapping: pixel (row i, col j) center sits at
+x = (2j+1)/W - 1, y = (2i+1)/H - 1 (derivation: view coords are
+(-(-x), -(y·-1), z+2.732) = (x, y, ·) after the two sign flips, and
+PyTorch3D's +1→left / +1→top NDC flips both axes back).
+
+Soft silhouette
+---------------
+PyTorch3D's SoftSilhouetteShader computes, per pixel,
+alpha = 1 - prod_f (1 - sigmoid(-d_f / sigma)) over the top-K
+(faces_per_pixel=20) faces with signed squared pixel-to-triangle distance
+d_f < blur_radius (d_f negative inside). We accumulate over *all* faces
+within blur_radius instead of top-20 — a strict refinement (K=inf) that
+removes the data-dependent top-k sort; pixels covered by >20 blurred faces
+are vanishingly rare for 1280-face meshes and the difference is below
+blending epsilon.
+
+`pix_to_face` is the argmin-depth face among in-radius faces (PyTorch3D's
+fragments.pix_to_face[..., 0]), returned as int32, -1 for background.
+
+Hard rasterization (texture / optical-flow z-buffer) keeps only faces that
+actually cover the pixel (d <= 0) and returns the winning face id plus its
+clipped barycentrics for atlas sampling.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# PyTorch3D blend defaults used throughout the reference:
+SIGMA = 1e-4
+GAMMA = 1e-4
+# blur_radius = log(1/1e-4 - 1) * sigma  (nmr.py:209)
+BLUR_RADIUS = float(jnp.log(1.0 / 1e-4 - 1.0) * SIGMA)
+
+_BIG = 1e10
+
+
+def pixel_grid(image_size: int, dtype=jnp.float32) -> jax.Array:
+    """(H*W, 2) pixel-center coords in [-1, 1], row-major (y down)."""
+    hw = image_size
+    idx = jnp.arange(hw, dtype=dtype)
+    coord = (2.0 * idx + 1.0) / hw - 1.0
+    yy, xx = jnp.meshgrid(coord, coord, indexing="ij")
+    return jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)
+
+
+def _edge_dist_sq(p: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Squared distance from points p (P, 1, 2) to segments a-b (1, F, 2)."""
+    ab = b - a  # (1, F, 2)
+    ap = p - a  # (P, F, 2)
+    denom = jnp.maximum((ab * ab).sum(-1), 1e-12)
+    t = jnp.clip((ap * ab).sum(-1) / denom, 0.0, 1.0)
+    proj = a + t[..., None] * ab
+    d = p - proj
+    return (d * d).sum(-1)
+
+
+class Fragments(NamedTuple):
+    """Per-pixel rasterization outputs (flattened pixel axis P = H*W)."""
+
+    pix_to_face: jax.Array  # (P,) int32, -1 = background
+    bary: jax.Array         # (P, 3) clipped barycentrics of winning face
+    zbuf: jax.Array         # (P,) interpolated depth of winning face (BIG if none)
+    neg_log_1malpha: jax.Array  # (P,) sum_f log(1 - prob_f); alpha = 1-exp(.)
+
+
+def _rasterize_one(
+    verts: jax.Array,
+    faces: jax.Array,
+    image_size: int,
+    sigma: float,
+    blur_radius: float,
+    face_chunk: int,
+) -> Fragments:
+    """Rasterize one mesh (V, 3 projected) against all pixels.
+
+    Single pass over face chunks; O(1) state per pixel. Fully unrolled by
+    lax.scan; the chunk body is rematerialized in the backward pass.
+    """
+    P = image_size * image_size
+    pix = pixel_grid(image_size, verts.dtype)  # (P, 2)
+    F = faces.shape[0]
+    assert F % face_chunk == 0, (F, face_chunk)
+    n_chunks = F // face_chunk
+
+    fv = verts[faces]  # (F, 3, 3)
+    fv = fv.reshape(n_chunks, face_chunk, 3, 3)
+
+    init = Fragments(
+        pix_to_face=jnp.full((P,), -1, jnp.int32),
+        bary=jnp.zeros((P, 3), verts.dtype),
+        zbuf=jnp.full((P,), _BIG, verts.dtype),
+        neg_log_1malpha=jnp.zeros((P,), verts.dtype),
+    )
+
+    @functools.partial(jax.checkpoint, prevent_cse=False)
+    def body(state: Fragments, chunk):
+        fv_c, face_idx = chunk  # (FC, 3, 3), (FC,)
+        a2, b2, c2 = fv_c[:, 0, :2], fv_c[:, 1, :2], fv_c[:, 2, :2]
+        z = fv_c[:, :, 2]  # (FC, 3)
+
+        p = pix[:, None, :]  # (P, 1, 2)
+        an, bn, cn = a2[None], b2[None], c2[None]  # (1, FC, 2)
+
+        # Signed sub-areas (×2) for barycentrics; denom = full signed area.
+        def cross2(u, v):
+            return u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0]
+
+        area = cross2(bn - an, cn - an)  # (1, FC)
+        w0 = cross2(bn - p, cn - p)
+        w1 = cross2(cn - p, an - p)
+        w2 = cross2(an - p, bn - p)
+        denom = jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
+        bary = jnp.stack([w0, w1, w2], axis=-1) / denom[..., None]  # (P, FC, 3)
+        inside = jnp.all(bary >= 0.0, axis=-1)  # (P, FC)
+
+        # Clipped + renormalized barycentrics (for z and atlas sampling).
+        bary_c = jnp.clip(bary, 0.0, 1.0)
+        bary_c = bary_c / jnp.maximum(bary_c.sum(-1, keepdims=True), 1e-12)
+        zpix = (bary_c * z[None]).sum(-1)  # (P, FC)
+
+        # Squared distance to the triangle boundary, signed (neg inside).
+        d_sq = jnp.minimum(
+            jnp.minimum(_edge_dist_sq(p, an, bn), _edge_dist_sq(p, bn, cn)),
+            _edge_dist_sq(p, cn, an),
+        )
+        signed = jnp.where(inside, -d_sq, d_sq)  # (P, FC)
+
+        # `inside` (all bary >= 0) always rasterizes, including exact-edge
+        # pixels where signed == 0 (matters for hard raster, blur_radius=0).
+        in_radius = inside | (signed < blur_radius)
+        # log(1 - sigmoid(-d/sigma)) = log_sigmoid(d/sigma)
+        log1mp = jnp.where(in_radius, jax.nn.log_sigmoid(signed / sigma), 0.0)
+        neg_log = state.neg_log_1malpha + log1mp.sum(-1)
+
+        # Depth test among in-radius faces.
+        z_masked = jnp.where(in_radius, zpix, _BIG)
+        j = jnp.argmin(z_masked, axis=-1)  # (P,)
+        z_best = jnp.take_along_axis(z_masked, j[:, None], axis=1)[:, 0]
+        bary_best = jnp.take_along_axis(bary_c, j[:, None, None], axis=1)[:, 0]
+        f_best = face_idx[j]
+
+        better = z_best < state.zbuf
+        new = Fragments(
+            pix_to_face=jnp.where(better, f_best.astype(jnp.int32), state.pix_to_face),
+            bary=jnp.where(better[:, None], bary_best, state.bary),
+            zbuf=jnp.where(better, z_best, state.zbuf),
+            neg_log_1malpha=neg_log,
+        )
+        return new, None
+
+    face_ids = jnp.arange(F, dtype=jnp.int32).reshape(n_chunks, face_chunk)
+    out, _ = jax.lax.scan(body, init, (fv, face_ids))
+    return out
+
+
+def rasterize(
+    verts: jax.Array,
+    faces: jax.Array,
+    image_size: int,
+    *,
+    sigma: float = SIGMA,
+    blur_radius: float = BLUR_RADIUS,
+    face_chunk: int = 128,
+) -> Fragments:
+    """Batched soft rasterization.
+
+    Args:
+      verts: (B, V, 3) camera-projected vertices ([-1,1] xy, depth z).
+      faces: (F, 3) int32 shared topology.
+      image_size: output H == W.
+    Returns:
+      Fragments with leading batch axis, pixel axis flattened (B, H*W).
+    """
+    fn = functools.partial(
+        _rasterize_one,
+        faces=faces,
+        image_size=image_size,
+        sigma=sigma,
+        blur_radius=blur_radius,
+        face_chunk=face_chunk,
+    )
+    return jax.vmap(fn)(verts)
+
+
+def soft_silhouette(
+    verts: jax.Array,
+    faces: jax.Array,
+    image_size: int,
+    *,
+    sigma: float = SIGMA,
+    blur_radius: float = BLUR_RADIUS,
+    face_chunk: int = 128,
+) -> tuple[jax.Array, jax.Array]:
+    """Soft silhouette mask + pix_to_face.
+
+    Equivalent to reference NeuralRenderer.forward without textures
+    (monocular/nnutils/nmr.py:199-224): returns (mask (B,H,W) in [0,1],
+    pix_to_face (B,H,W) int32).
+    """
+    frags = rasterize(
+        verts, faces, image_size, sigma=sigma, blur_radius=blur_radius,
+        face_chunk=face_chunk,
+    )
+    B = verts.shape[0]
+    alpha = 1.0 - jnp.exp(frags.neg_log_1malpha)
+    shape = (B, image_size, image_size)
+    return alpha.reshape(shape), frags.pix_to_face.reshape(shape)
+
+
+def hard_rasterize(
+    verts: jax.Array,
+    faces: jax.Array,
+    image_size: int,
+    *,
+    face_chunk: int = 128,
+) -> Fragments:
+    """Hard (blur=0, fpp=1) rasterization: only true-coverage faces.
+
+    Equivalent to the reference OF_NeuralRenderer / tex raster settings
+    (nmr.py:124-126, 152-156, 255-290). blur_radius=0 keeps only faces with
+    signed distance < 0 (strictly inside).
+    """
+    return rasterize(
+        verts, faces, image_size, sigma=SIGMA, blur_radius=0.0,
+        face_chunk=face_chunk,
+    )
+
+
+def sample_atlas(
+    atlas: jax.Array, pix_to_face: jax.Array, bary: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Sample a per-face texture atlas at rasterized barycentrics.
+
+    atlas: (B, F, T, T, C); pix_to_face: (B, P) int32; bary: (B, P, 3).
+    Nearest-cell sampling on the (w0, w1) grid, matching PyTorch3D 0.3
+    TexturesAtlas indexing (atlas cell [int(w0*T), int(w1*T)]) and the
+    reference's compute_uvsampler atlas layout (axis 2 = alpha/w0,
+    axis 3 = beta/w1). Returns (rgb (B, P, C), covered (B, P) bool).
+    """
+    B, F, T, _, C = atlas.shape
+    covered = pix_to_face >= 0
+    f = jnp.where(covered, pix_to_face, 0)
+    i0 = jnp.clip((bary[..., 0] * T).astype(jnp.int32), 0, T - 1)
+    i1 = jnp.clip((bary[..., 1] * T).astype(jnp.int32), 0, T - 1)
+    flat = atlas.reshape(B, F * T * T, C)
+    idx = (f * T + i0) * T + i1
+    rgb = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    rgb = jnp.where(covered[..., None], rgb, 0.0)
+    return rgb, covered
+
+
+def render_texture(
+    verts: jax.Array,
+    faces: jax.Array,
+    atlas: jax.Array,
+    image_size: int,
+    *,
+    face_chunk: int = 128,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Textured render with all-ambient light and hard rasterization.
+
+    Equivalent to reference NeuralRenderer.forward with textures
+    (nmr.py:225-252): returns (rgb (B,H,W,3), sil (B,H,W), pix_to_face).
+    Vertices receive no gradient (the reference always detaches pred_v for
+    the texture pass: monocular/main.py:238).
+    """
+    verts = jax.lax.stop_gradient(verts)
+    frags = hard_rasterize(verts, faces, image_size, face_chunk=face_chunk)
+    rgb, covered = sample_atlas(atlas, frags.pix_to_face, frags.bary)
+    B = verts.shape[0]
+    shape = (B, image_size, image_size)
+    return (
+        rgb.reshape(B, image_size, image_size, -1),
+        covered.astype(verts.dtype).reshape(shape),
+        frags.pix_to_face.reshape(shape),
+    )
+
+
+def visible_vertices(
+    pix_to_face: jax.Array, faces: jax.Array, num_verts: int
+) -> jax.Array:
+    """Per-mesh vertex visibility from a pix_to_face map.
+
+    pix_to_face: (B, ...) int32; faces: (F, 3). Returns (B, V) float 0/1:
+    a vertex is visible iff any pixel's front face contains it.
+    Replaces the reference's scatter/unique construction
+    (loss_utils.py:215-224, 435-443) with a dense one-hot segment max.
+    """
+    B = pix_to_face.shape[0]
+    p2f = pix_to_face.reshape(B, -1)
+    covered = p2f >= 0
+    fidx = jnp.where(covered, p2f, 0)
+    # visible_faces: (B, F) — 1 if face appears in the z-buffer.
+    F = faces.shape[0]
+    vis_f = jnp.zeros((B, F), jnp.float32)
+    vis_f = jax.vmap(
+        lambda vf, fi, cv: vf.at[fi].max(cv.astype(jnp.float32))
+    )(vis_f, fidx, covered)
+    # scatter to vertices: vert visible if any visible face references it.
+    V = num_verts
+    onehot = jnp.zeros((F * 3,), jnp.int32)  # placeholder to express shape
+
+    def scatter_verts(vf):
+        vv = jnp.zeros((V,), jnp.float32)
+        vv = vv.at[faces.reshape(-1)].max(jnp.repeat(vf, 3))
+        return vv
+
+    del onehot
+    return jax.vmap(scatter_verts)(vis_f)
