@@ -162,13 +162,15 @@ class TestScreenedPoisson:
         delta = jnp.asarray(rng.normal(size=(2, A.shape[0], 3)) * 0.05, jnp.float32)
         ours = np.asarray(screened_poisson_solve(self.v, A, delta, self.L))
 
-        # reference formulation (monocular/main.py:212-218), torch float64
-        Lt = torch.from_numpy(np.asarray(self.L)).double()
-        At = torch.from_numpy(np.asarray(A)).double()
-        mv = torch.from_numpy(np.asarray(self.v)).double()
-        target = At @ mv + torch.from_numpy(np.asarray(delta)).double()
-        M = Lt.T @ Lt + At.T @ At
-        b = Lt.T @ (Lt @ mv) + torch.einsum("kv,bkc->bvc", At, target)
+        # reference formulation (monocular/main.py:212-218). Normal equations
+        # are formed in f32 (as both implementations do), then solved in f64
+        # so the comparison isolates formulation parity from solver noise.
+        Lt = torch.from_numpy(np.asarray(self.L)).float()
+        At = torch.from_numpy(np.asarray(A)).float()
+        mv = torch.from_numpy(np.asarray(self.v)).float()
+        target = At @ mv + torch.from_numpy(np.asarray(delta)).float()
+        M = (Lt.T @ Lt + At.T @ At).double()
+        b = (Lt.T @ (Lt @ mv) + torch.einsum("kv,bkc->bvc", At, target)).double()
         sol = torch.linalg.solve(M.unsqueeze(0).expand(2, -1, -1), b)
         np.testing.assert_allclose(ours, sol.numpy(), atol=2e-3)
 
