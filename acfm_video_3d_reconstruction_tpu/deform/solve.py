@@ -43,13 +43,20 @@ def screened_poisson_solve(
     V = mean_v.shape[0]
     B = delta_handles.shape[0]
     A = lbs  # (K, V)
-    target = (A @ mean_v)[None] + delta_handles  # (B, K, 3)
 
-    M = L.T @ L + A.T @ A
+    # The system is conditioning-sensitive (Laplacian near-nullspace pinned
+    # only by A^T A): all matmuls here request full f32 MXU precision —
+    # JAX's default matmul precision is bf16-grade and perturbs the solution
+    # by ~1e-1 on the template scale.
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda x, y: jnp.matmul(x, y, precision=hi)  # noqa: E731
+    target = mm(A, mean_v)[None] + delta_handles  # (B, K, 3)
+
+    M = mm(L.T, L) + mm(A.T, A)
     if jitter:
         M = M + jitter * jnp.eye(V, dtype=M.dtype)
-    rhs_common = L.T @ (L @ mean_v)  # (V, 3)
-    rhs = rhs_common[None] + jnp.einsum("kv,bkc->bvc", A, target)  # (B, V, 3)
+    rhs_common = mm(L.T, mm(L, mean_v))  # (V, 3)
+    rhs = rhs_common[None] + jnp.einsum("kv,bkc->bvc", A, target, precision=hi)
 
     # One factorization, B*3 simultaneous right-hand sides.
     chol = jsl.cho_factor(M.astype(jnp.float32))
