@@ -1,0 +1,67 @@
+"""Texture predictor: UV color image decoder + fixed spherical atlas sampler.
+
+Parity target: reference monocular/nnutils/mesh_net.py:135-180
+(TexturePredictorUV): res_feats (B,4,4,256) -> width x2 -> residual conv
+stack with 5 bilinear 2x upsamples -> 3ch UV image (H, 2H) -> grid_sample at
+the precomputed per-face spherical uv_sampler -> (tanh+1)/2 per-face atlas
+(B, F, T, T, 3); symmetric texture mirrors the last num_sym_faces.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.grid_sample import grid_sample
+from .nn_blocks import ResLayer2d, conv3x3, upsample2x
+
+
+def atlas_image_size(num_faces: int, tex_size: int) -> tuple[int, int]:
+    """UV image height/width: H = 2^floor(log2(sqrt(F)*T)), W = 2H.
+
+    (reference mesh_net.py:452-453)
+    """
+    h = int(2 ** np.floor(np.log2(np.sqrt(num_faces) * tex_size)))
+    return h, 2 * h
+
+
+class TexturePredictorUV(nn.Module):
+    """Decode res_feats to a per-face texture atlas via a UV color image."""
+
+    uv_sampler: jax.Array  # (F', T, T, 2) static sampling coords
+    num_sym_faces: int = -1  # >=0: append mirrored texture for left faces
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, res_feats, train: bool = False):
+        Fp, T, _, _ = self.uv_sampler.shape
+        B = res_feats.shape[0]
+        x = jax.image.resize(
+            res_feats,
+            (B, res_feats.shape[1], res_feats.shape[2] * 2, res_feats.shape[3]),
+            method="bilinear",
+        )
+        # ResLayer/upsample pyramid (mesh_net.py:157-163): 4x8 -> 128x256.
+        plan = [
+            (256, True), (256, False), (256, True),
+            (128, True), (64, True), (32, True), (16, False),
+        ]
+        for feats, up in plan:
+            x = ResLayer2d(feats, dtype=self.dtype)(x, train=train)
+            if up:
+                x = upsample2x(x)
+        uvimage = conv3x3(3, dtype=self.dtype)(x)  # (B, H, 2H, 3)
+
+        flow = jnp.broadcast_to(
+            self.uv_sampler.reshape(1, Fp * T * T, 2), (B, Fp * T * T, 2)
+        )
+        tex = grid_sample(uvimage, flow, align_corners=True)  # (B, F'*T*T, 3)
+        tex = tex.reshape(B, Fp, T, T, 3)
+        tex = (jnp.tanh(tex) + 1.0) / 2.0
+        if self.num_sym_faces >= 0:
+            tex_left = tex[:, -self.num_sym_faces:]
+            tex = jnp.concatenate([tex, tex_left], axis=1)
+        return tex
