@@ -1,0 +1,117 @@
+"""Monocular training CLI (reference monocular/main.py compatible).
+
+Usage:
+  python -m acfm_video_3d_reconstruction_tpu.cli.monocular_main \
+      --name bird_net --cub_dir <CUB_200_2011> --cub_cache_dir <cachedir/cub> \
+      --num_lbs 16 --batch_size 12
+"""
+from __future__ import annotations
+
+import dataclasses
+import pickle
+
+import numpy as np
+from absl import app, flags
+
+from .. import config as cfg_lib
+from ..data.cub import CUBDataset, load_sfm_mean_shape
+from ..data.loader import DataLoader
+from ..models.template import build_template
+from ..train import driver
+from ..utils.obj_io import load_obj
+
+FLAGS = flags.FLAGS
+flags.DEFINE_string("name", "exp_name", "Experiment name")
+flags.DEFINE_string("cub_dir", "misc/CUB_200_2011", "CUB data dir")
+flags.DEFINE_string("cub_cache_dir", "misc/cachedir/cub", "CUB cache dir")
+flags.DEFINE_string("mesh_dir", "", "template mesh OBJ (default: icosphere)")
+flags.DEFINE_string("kp_dict", "", "keypoint->vertex dictionary pkl")
+flags.DEFINE_string("checkpoint_dir", "cachedir/snapshots", "checkpoints")
+flags.DEFINE_integer("num_lbs", 15, "number of LBS handles")
+flags.DEFINE_integer("num_kps", 15, "number of keypoints")
+flags.DEFINE_integer("batch_size", 12, "batch size")
+flags.DEFINE_integer("img_size", 256, "image size")
+flags.DEFINE_integer("num_epochs", 500, "epochs")
+flags.DEFINE_integer("num_pretrain_epochs", 0, "resume epoch")
+flags.DEFINE_float("learning_rate", 1e-4, "lr")
+flags.DEFINE_boolean("texture", True, "predict texture")
+flags.DEFINE_boolean("symmetric", True, "symmetric mesh")
+flags.DEFINE_boolean("use_gtpose", True, "use GT sfm pose for projection")
+flags.DEFINE_string("split", "train", "data split")
+flags.DEFINE_float("kp_loss_wt", 30.0, "keypoint loss weight")
+flags.DEFINE_float("mask_loss_wt", 1.0, "mask loss weight")
+flags.DEFINE_integer("log_every", 20, "steps between scalar logs")
+
+
+def build_cfg() -> cfg_lib.Config:
+    return cfg_lib.Config(
+        model=dataclasses.replace(
+            cfg_lib.ModelConfig(),
+            img_size=FLAGS.img_size,
+            num_lbs=FLAGS.num_lbs,
+            num_kps=FLAGS.num_kps,
+            texture=FLAGS.texture,
+            symmetric=FLAGS.symmetric,
+            symmetric_texture=FLAGS.symmetric,
+            mesh_path=FLAGS.mesh_dir or None,
+            kp_dict_path=FLAGS.kp_dict or None,
+        ),
+        mono_weights=dataclasses.replace(
+            cfg_lib.MonocularLossWeights(), kp=FLAGS.kp_loss_wt, mask=FLAGS.mask_loss_wt
+        ),
+        train=dataclasses.replace(
+            cfg_lib.TrainConfig(),
+            batch_size=FLAGS.batch_size,
+            learning_rate=FLAGS.learning_rate,
+            num_epochs=FLAGS.num_epochs,
+            num_pretrain_epochs=FLAGS.num_pretrain_epochs,
+            use_gtpose=FLAGS.use_gtpose,
+            checkpoint_dir=FLAGS.checkpoint_dir,
+            name=FLAGS.name,
+        ),
+    )
+
+
+def build_cub_template(cfg: cfg_lib.Config):
+    """Template from mesh OBJ + kp dict, or icosphere + SfM mean shape.
+
+    (reference monocular/main.py:78-99)
+    """
+    m = cfg.model
+    verts = faces = None
+    kp_ids = None
+    sfm_kp = None
+    if m.mesh_path:
+        verts, faces = load_obj(m.mesh_path)
+    if m.kp_dict_path:
+        with open(m.kp_dict_path, "rb") as f:
+            kp_dict = pickle.load(f)
+        kp_ids = [np.atleast_1d(v) for v in kp_dict.values()]
+    else:
+        try:
+            S, _ = load_sfm_mean_shape(FLAGS.cub_cache_dir, FLAGS.split)
+            sfm_kp = S
+        except Exception:
+            sfm_kp = None
+    return build_template(
+        verts, faces,
+        subdivide=m.subdivide, num_lbs=m.num_lbs, tex_size=m.tex_size,
+        symmetric=m.symmetric and verts is None,
+        symmetric_texture=m.symmetric_texture and verts is None,
+        num_kps=m.num_kps, kp_vertex_ids=kp_ids, sfm_kp_points=sfm_kp,
+    )
+
+
+def main(_):
+    cfg = build_cfg()
+    template = build_cub_template(cfg)
+    dataset = CUBDataset(
+        FLAGS.cub_dir, FLAGS.cub_cache_dir, split=FLAGS.split,
+        img_size=FLAGS.img_size,
+    )
+    loader = DataLoader(dataset, FLAGS.batch_size, shuffle=True)
+    driver.run_monocular_training(cfg, template, loader, log_every=FLAGS.log_every)
+
+
+if __name__ == "__main__":
+    app.run(main)

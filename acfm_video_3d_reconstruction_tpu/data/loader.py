@@ -1,0 +1,104 @@
+"""Minimal host-side batch loader with background prefetch.
+
+Replaces torch DataLoader: collates dict samples to numpy stacks, applies
+the DT/boundary preprocessing, and prefetches the next batch on a thread so
+host preprocessing overlaps device compute (the reference's known CPU
+bottleneck: SURVEY.md §3.1). Boundary point lists are padded to a fixed
+size for static shapes under jit.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+from . import image_utils
+
+
+def collate(samples: list[dict]) -> dict:
+    out = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        out[k] = np.stack(vals) if isinstance(vals[0], np.ndarray) else np.asarray(vals)
+    return out
+
+
+def add_mask_geometry(batch: dict, max_boundary_points: int = 1000) -> dict:
+    """Attach edt/bdt/boundaries for a batch with mask (B, H, W) or (B, T, H, W)."""
+    masks = np.asarray(batch["mask"])
+    flat = masks.reshape(-1, *masks.shape[-2:])
+    batch = dict(batch)
+    batch["edt"] = np.stack(
+        [image_utils.compute_dt(m, norm=False) for m in flat]
+    ).astype(np.float32)
+    batch["bdt"] = np.stack(
+        [image_utils.compute_dt_barrier(m) for m in flat]
+    ).astype(np.float32)
+    bounds = image_utils.compute_boundaries(flat)
+    n = bounds.shape[1]
+    if n >= max_boundary_points:
+        bounds = bounds[:, :max_boundary_points]
+    else:
+        pad = np.zeros((bounds.shape[0], max_boundary_points - n, 3), np.float32)
+        bounds = np.concatenate([bounds, pad], axis=1)
+    batch["boundaries"] = bounds
+    return batch
+
+
+class DataLoader:
+    """Shuffling epoch iterator with threaded prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        preprocess: Optional[Callable[[dict], dict]] = add_mask_geometry,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        self.preprocess = preprocess
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        return idx
+
+    def _make_batch(self, ids) -> dict:
+        batch = collate([self.dataset[int(i)] for i in ids])
+        if self.preprocess is not None:
+            batch = self.preprocess(batch)
+        return batch
+
+    def __iter__(self) -> Iterator[dict]:
+        idx = self._epoch_indices()
+        nb = len(self)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def producer():
+            for b in range(nb):
+                ids = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                q.put(self._make_batch(ids))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item

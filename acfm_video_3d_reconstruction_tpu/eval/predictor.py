@@ -1,0 +1,179 @@
+"""Inference predictor + test-time optimization (TTO).
+
+Parity targets: reference monocular/nnutils/predictor.py:33-174
+(MeshPredictor: checkpointed model -> full forward incl. Laplacian solve ->
+output dict) and multiframe/nnutils/predictor.py:226-349 (argmax-multiplex
+camera, post-processing Adam(5e-3) loop over delta_v_res (+ camera) against
+mask + silhouette-consistency + optical-flow losses).
+
+The TTO loop is a single jitted lax.fori_loop over an optax Adam chain —
+the solve reuses the one-time Cholesky factorization across all steps
+(the system matrix is constant during TTO, a structural win the batched
+reference recomputes every iteration).
+
+Note: the reference combines sil_cons as bdt_wt*edt + edt_wt*bdt at
+predictor.py:321 — swapped relative to training (multiframe/main.py:722).
+We implement the consistent (training) order.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+import optax
+
+from ..geometry import camera as cam_utils
+from ..geometry.mesh_ops import cot_laplacian
+from ..losses import losses as L
+from ..ops import rasterizer as ras
+
+
+@dataclasses.dataclass(frozen=True)
+class TTOConfig:
+    num_iter: int = 100
+    lr: float = 5e-3
+    optimize_camera: bool = False
+    mask_wt: float = 1.0
+    boundaries_wt: float = 1.0
+    edt_wt: float = 0.1
+    bdt_wt: float = 2.0
+    of_wt: float = 1.0
+    offset_z: float = 0.0
+
+
+def predict_monocular(mods, state, batch, face_chunk: int = 128) -> dict:
+    """Monocular MeshPredictor.predict equivalent: full output dict."""
+    from ..train import monocular
+
+    _, aux = monocular.forward(
+        mods, state.params, state.batch_stats, state.lpips_params, batch,
+        train=False, face_chunk=face_chunk,
+    )
+    model = mods.model
+    lbs = model.apply({"params": state.params}, method=model.get_lbs)
+    mean_shape = model.apply({"params": state.params}, method=model.get_mean_shape)
+    return {
+        "lbs": lbs,
+        "mean_shape": mean_shape,
+        "faces": mods.template.faces,
+        "kp_pred": aux["kp_pred"],
+        "verts": aux["pred_v"],
+        "cam_pred": aux["cam_pred"],
+        "mask_pred": aux["mask_pred"],
+    }
+
+
+def make_tto_step_fn(
+    mods,
+    tto: TTOConfig,
+    num_frames: int,
+    face_chunk: int = 128,
+):
+    """Build the jitted TTO refiner.
+
+    Returns fn(mean_shape, lbs, delta_v_res, cam_pred, batch) ->
+    (pred_v, cam_pred, final_loss).
+    """
+    t = mods.template
+    faces = jnp.asarray(t.faces)
+    img_size = mods.cfg.model.img_size
+    tx = optax.adam(tto.lr)
+
+    def refine(mean_shape, lbs, delta_v_res, cam_pred, batch):
+        BT = delta_v_res.shape[0]
+        Lcot = jax.lax.stop_gradient(cot_laplacian(mean_shape, faces))
+        A = jax.lax.stop_gradient(lbs)
+        mean_shape = jax.lax.stop_gradient(mean_shape)
+        M = (
+            jnp.matmul(Lcot.T, Lcot, precision=jax.lax.Precision.HIGHEST)
+            + jnp.matmul(A.T, A, precision=jax.lax.Precision.HIGHEST)
+        )
+        chol = jsl.cho_factor(M)
+        rhs_common = Lcot.T @ (Lcot @ mean_shape)
+        handle_base = (A @ mean_shape)[None]
+
+        masks = batch["mask"].reshape(BT, img_size, img_size)
+        edts = batch["edt"].reshape(BT, img_size, img_size)
+        boundaries = batch["boundaries"].reshape(BT, -1, 3)
+
+        def solve(delta_res):
+            target = handle_base + delta_res
+            rhs = rhs_common[None] + jnp.einsum(
+                "kv,bkc->bvc", A, target, precision=jax.lax.Precision.HIGHEST
+            )
+            rhs_flat = jnp.moveaxis(rhs, 0, 1).reshape(mean_shape.shape[0], BT * 3)
+            sol = jsl.cho_solve(chol, rhs_flat)
+            return jnp.moveaxis(sol.reshape(mean_shape.shape[0], BT, 3), 1, 0)
+
+        def loss_fn(opt_params):
+            delta_res = opt_params["delta_v_res"]
+            if tto.optimize_camera:
+                cam = opt_params["cam"]
+                cam = jnp.concatenate(
+                    [cam[..., :3],
+                     cam[..., 3:] / jnp.maximum(
+                         jnp.linalg.norm(cam[..., 3:], axis=-1, keepdims=True), 1e-12
+                     )],
+                    axis=-1,
+                )
+            else:
+                cam = cam_pred
+            pred_v = solve(delta_res)
+            proj_v = cam_utils.orthographic_proj_withz(pred_v, cam, offset_z=tto.offset_z)
+            mask_pred, pix_to_face = ras.soft_silhouette(
+                proj_v, faces, img_size, face_chunk=face_chunk
+            )
+            mask_loss = L.l1_loss(mask_pred, masks)
+            pred_proj = cam_utils.project_points(pred_v, cam)
+            edt = L.edt_loss(mask_pred, edts)
+            vis = ras.visible_vertices(pix_to_face, faces, t.num_verts)
+            bdt = L.boundaries_loss(pred_proj, boundaries, vis)
+            total = tto.mask_wt * mask_loss + tto.boundaries_wt * (
+                tto.edt_wt * edt + tto.bdt_wt * bdt
+            )
+            if tto.of_wt > 0 and "optical_flows" in batch:
+                B = BT // num_frames
+                verts_seq = pred_v.reshape(B, num_frames, t.num_verts, 3)
+                flows = batch["optical_flows"]
+                masks_of = masks.reshape(B, num_frames, img_size, img_size)
+                flows_f = jnp.flip(flows, axis=1) * masks_of[..., None]
+                of_loss, *_ = L.optical_flow_loss(
+                    verts_seq, cam, flows_f, faces, img_size,
+                    face_chunk=face_chunk,
+                )
+                total = total + tto.of_wt * of_loss
+            return total
+
+        opt_params = {"delta_v_res": jax.lax.stop_gradient(delta_v_res)}
+        if tto.optimize_camera:
+            opt_params["cam"] = jax.lax.stop_gradient(cam_pred)
+        opt_state = tx.init(opt_params)
+
+        def body(_, carry):
+            opt_params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(opt_params)
+            updates, opt_state = tx.update(grads, opt_state)
+            opt_params = optax.apply_updates(opt_params, updates)
+            return opt_params, opt_state
+
+        opt_params, _ = jax.lax.fori_loop(
+            0, tto.num_iter, body, (opt_params, opt_state)
+        )
+        final_loss = loss_fn(opt_params)
+        pred_v = solve(opt_params["delta_v_res"])
+        cam_out = opt_params.get("cam", cam_pred)
+        return pred_v, cam_out, final_loss
+
+    return jax.jit(refine)
+
+
+def argmax_multiplex_camera(mpx, frames_idx, scale_lr_decay: float = 0.05):
+    """Best-hypothesis camera for train-split eval (predictor.py:239-252)."""
+    from ..multiplex import state as mpx_lib
+
+    sel = mpx_lib.topk_hypotheses(mpx, frames_idx, 1)  # (1, BT)
+    raw = mpx_lib.select_hypotheses(mpx.cams[:, frames_idx.reshape(-1)], sel)[0]
+    return cam_utils.decode_quat_camera(raw, scale_lr_decay=scale_lr_decay)

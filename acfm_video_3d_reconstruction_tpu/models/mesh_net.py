@@ -106,3 +106,12 @@ class MeshNet(nn.Module):
     def textures(self, res_feats, train: bool = False) -> jax.Array:
         """(B, F, T, T, 3) texture atlas from spatial features."""
         return self.texture_predictor(res_feats, train=train)
+
+    def init_all(self, img):
+        """Init-time entry that touches every submodule so linen creates all
+        params (the texture decoder is otherwise only reached via
+        `method=textures` at apply time)."""
+        out = self(img, train=False)
+        if self.predict_texture:
+            out["atlas"] = self.textures(out["res_feats"], train=False)
+        return out

@@ -62,7 +62,7 @@ def build(cfg: cfg_lib.Config, template: Template, rng: jax.Array):
         learnable_kp=m.learnable_kp,
     )
     dummy = jnp.zeros((1, m.img_size, m.img_size, 3), jnp.float32)
-    variables = model.init(rng, dummy, train=False)
+    variables = model.init(rng, dummy, method=model.init_all)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 

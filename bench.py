@@ -1,0 +1,83 @@
+"""Benchmark: fused render+loss fwd/bwd throughput at 256^2 (BASELINE.json).
+
+Runs the flagship monocular training step (encoder -> LBS/Poisson solve ->
+soft-silhouette + texture renders (orig + mirrored) -> full loss stack ->
+Adam) on the real chip and reports frames/sec/chip.
+
+Baseline note: the reference publishes no throughput numbers
+(BASELINE.md). vs_baseline is computed against REFERENCE_FPS_EST = 30
+frames/s — a generous estimate for the reference's PyTorch3D
+forward+backward at 256^2 with faces_per_pixel=20 silhouette + texture +
+LPIPS on a contemporary GPU (batch 12 at ~2.5 it/s).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+REFERENCE_FPS_EST = 30.0
+
+
+def main():
+    import jax
+
+    from acfm_video_3d_reconstruction_tpu import config as cfg_lib
+    from acfm_video_3d_reconstruction_tpu.models import build_template
+    from acfm_video_3d_reconstruction_tpu.train import monocular
+
+    batch = 12
+    img_size = 256
+    template = build_template(subdivide=3, num_lbs=16, tex_size=6, num_kps=15)
+    cfg = cfg_lib.Config(
+        model=dataclasses.replace(
+            cfg_lib.ModelConfig(), img_size=img_size, num_lbs=16, num_kps=15,
+            texture=True, symmetric=False, symmetric_texture=False,
+        ),
+        train=dataclasses.replace(cfg_lib.TrainConfig(), batch_size=batch),
+    )
+    mods, tx, state = monocular.build(cfg, template, jax.random.PRNGKey(0))
+    step = monocular.make_train_step(mods, tx, face_chunk=128)
+
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+
+    bench_batch = {
+        "img": jnp.asarray(rng.random((batch, img_size, img_size, 3), np.float32)),
+        "mask": jnp.asarray((rng.random((batch, img_size, img_size)) > 0.5).astype(np.float32)),
+        "kp": jnp.asarray(rng.random((batch, 15, 3), np.float32)),
+        "sfm_pose": jnp.asarray(
+            np.tile(np.asarray([0.8, 0, 0, 1, 0, 0, 0], np.float32), (batch, 1))
+        ),
+        "edt": jnp.asarray(rng.random((batch, img_size, img_size), np.float32)),
+        "boundaries": jnp.asarray(rng.random((batch, 1000, 3), np.float32)),
+    }
+
+    # compile + warmup
+    state, metrics = step(state, bench_batch)
+    jax.block_until_ready(metrics["total_loss"])
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, bench_batch)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+
+    fps = batch * n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "frames/sec/chip render+loss fwd/bwd 256^2",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / REFERENCE_FPS_EST, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

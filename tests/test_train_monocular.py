@@ -45,9 +45,15 @@ def mono_batch(ds, ids):
     return out
 
 
+def fresh(state):
+    """Deep-copy a train state (steps donate their input buffers)."""
+    return jax.tree_util.tree_map(jnp.array, state)
+
+
 class TestMonocularTraining:
     def test_step_runs_and_decreases_loss(self, setup):
         mods, tx, state, ds = setup
+        state = fresh(state)
         step = monocular.make_train_step(mods, tx, face_chunk=80)
         batch = mono_batch(ds, [0, 1])
         losses = []
@@ -60,7 +66,7 @@ class TestMonocularTraining:
     def test_metrics_keys(self, setup):
         mods, tx, state, ds = setup
         step = monocular.make_train_step(mods, tx, face_chunk=80)
-        _, metrics = step(state, mono_batch(ds, [0, 1]))
+        _, metrics = step(fresh(state), mono_batch(ds, [0, 1]))
         for k in (
             "kp_loss", "mask_loss", "cam_loss", "edt_loss", "bdt_loss",
             "rigid_loss", "tri_loss", "vert2kp_loss", "total_loss", "tex_loss",
@@ -70,7 +76,7 @@ class TestMonocularTraining:
     def test_eval_outputs(self, setup):
         mods, tx, state, ds = setup
         ev = monocular.make_eval_step(mods, face_chunk=80)
-        aux = ev(state, mono_batch(ds, [0, 1]))
+        aux = ev(fresh(state), mono_batch(ds, [0, 1]))
         assert aux["mask_pred"].shape == (2, IMG, IMG)
         assert aux["kp_pred"].shape == (2, 4, 2)
         assert np.all(np.isfinite(np.asarray(aux["pred_v"])))
