@@ -26,10 +26,20 @@ def collate(samples: list[dict]) -> dict:
 
 
 def add_mask_geometry(batch: dict, max_boundary_points: int = 1000) -> dict:
-    """Attach edt/bdt/boundaries for a batch with mask (B, H, W) or (B, T, H, W)."""
+    """Attach edt/bdt/boundaries for a batch with mask (B, H, W) or (B, T, H, W).
+
+    Uses the native C++ path (data/native.py, exact-parity tested) when
+    libacfm_preproc.so is built; numpy/scipy otherwise.
+    """
+    from . import native
+
     masks = np.asarray(batch["mask"])
     flat = masks.reshape(-1, *masks.shape[-2:])
     batch = dict(batch)
+    if native.available():
+        edt, bdt, bounds = native.preprocess_masks(flat, max_boundary_points)
+        batch["edt"], batch["bdt"], batch["boundaries"] = edt, bdt, bounds
+        return batch
     batch["edt"] = np.stack(
         [image_utils.compute_dt(m, norm=False) for m in flat]
     ).astype(np.float32)

@@ -1,0 +1,164 @@
+"""Data pipeline tests: image utils, native parity, loader, datasets."""
+import os
+import pickle
+import subprocess
+
+import numpy as np
+import pytest
+
+from acfm_video_3d_reconstruction_tpu.data import image_utils, loader, native
+from acfm_video_3d_reconstruction_tpu.data import tigdog as tig
+
+
+def blob_mask(h=32, w=40, seed=0):
+    rng = np.random.default_rng(seed)
+    m = np.zeros((h, w), np.float32)
+    cy, cx = h // 2 + rng.integers(-4, 4), w // 2 + rng.integers(-4, 4)
+    yy, xx = np.mgrid[:h, :w]
+    m[(yy - cy) ** 2 + (xx - cx) ** 2 < 80] = 1.0
+    return m
+
+
+class TestImageUtils:
+    def test_dt_zero_inside(self):
+        m = blob_mask()
+        dt = image_utils.compute_dt(m, norm=False)
+        assert np.all(dt[m > 0.5] == 0)
+        assert dt.max() > 1
+
+    def test_barrier_monotone(self):
+        m = blob_mask()
+        b = image_utils.compute_dt_barrier(m)
+        assert b[m > 0.5].mean() < 0.5 < b[m < 0.5].mean()
+
+    def test_boundaries_on_mask_edge(self):
+        m = blob_mask()
+        bds = image_utils.compute_boundaries(m[None])
+        pts = bds[0][bds[0, :, 2] > 0]
+        assert len(pts) > 10
+        assert np.all(np.abs(pts[:, :2]) <= 1.0)
+
+    def test_square_bbox(self):
+        sq = image_utils.square_bbox([10, 20, 19, 49])
+        assert sq[2] - sq[0] == sq[3] - sq[1]
+
+    def test_crop_padding(self):
+        img = np.ones((10, 10, 3))
+        out = image_utils.crop(img, [-5, -5, 4, 4], bgval=0)
+        assert out.shape == (10, 10, 3)
+        assert out[0, 0, 0] == 0 and out[-1, -1, 0] == 1
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+class TestNativeParity:
+    def test_dt(self):
+        m = blob_mask(seed=1)
+        np.testing.assert_allclose(
+            native.compute_dt(m, norm=False),
+            image_utils.compute_dt(m, norm=False), atol=1e-5,
+        )
+
+    def test_barrier(self):
+        m = blob_mask(seed=2)
+        np.testing.assert_allclose(
+            native.compute_dt_barrier(m), image_utils.compute_dt_barrier(m), atol=1e-6
+        )
+
+    def test_batched_boundaries_match(self):
+        masks = np.stack([blob_mask(seed=s) for s in range(3)])
+        edt, bdt, bounds = native.preprocess_masks(masks, max_pts=400)
+        ref = image_utils.compute_boundaries(masks, max_points=400)
+        for i in range(3):
+            a = set(map(tuple, np.round(bounds[i][bounds[i, :, 2] > 0, :2], 5)))
+            b = set(map(tuple, np.round(ref[i][ref[i, :, 2] > 0, :2], 5)))
+            assert a == b
+
+
+class TestLoader:
+    def test_collate_and_geometry(self):
+        samples = [
+            {"img": np.zeros((8, 8, 3), np.float32), "mask": blob_mask(8, 8, s)}
+            for s in range(3)
+        ]
+        batch = loader.collate(samples)
+        assert batch["img"].shape == (3, 8, 8, 3)
+        out = loader.add_mask_geometry(batch, max_boundary_points=50)
+        assert out["edt"].shape == (3, 8, 8)
+        assert out["boundaries"].shape == (3, 50, 3)
+
+    def test_dataloader_iterates(self):
+        class DS:
+            def __len__(self):
+                return 7
+
+            def __getitem__(self, i):
+                return {"img": np.full((4, 4, 3), i, np.float32), "mask": blob_mask(4, 4)}
+
+        dl = loader.DataLoader(DS(), batch_size=2, shuffle=True, seed=1)
+        batches = list(dl)
+        assert len(batches) == 3
+        assert batches[0]["img"].shape == (2, 4, 4, 3)
+
+
+class TestTigDogPipeline:
+    def make_videos(self, tmp_path, n_videos=2, n_frames=6, h=48, w=64):
+        root = tmp_path / "vids"
+        cat = root / "horse"
+        cat.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for v in range(n_videos):
+            video = rng.random((n_frames, h, w, 3)).astype(np.float32)
+            segs = np.stack([blob_mask(h, w, seed=v * 10 + t) for t in range(n_frames)])
+            bboxes = np.tile(np.asarray([5.0, 5.0, 40.0, 40.0]), (n_frames, 1))
+            lms = np.ones((n_frames, 19, 3), np.float32) * 20
+            poses = np.tile(
+                np.asarray([1.0, 24.0, 24.0, 1, 0, 0, 0], np.float32), (n_frames, 1)
+            )
+            with open(cat / f"{v}.pkl", "wb") as f:
+                pickle.dump(
+                    {"video": video, "segmentations": segs, "bboxes": bboxes,
+                     "landmarks": lms, "sfm_poses": poses}, f,
+                )
+        return str(root)
+
+    def test_explode_and_multiframe(self, tmp_path):
+        root = self.make_videos(tmp_path)
+        ds = tig.VideoPklDataset(root, "horse", split="all")
+        assert len(ds) == 2
+        n, s2v, spv = tig.explode_to_frames(ds, str(tmp_path / "cache"), "horse")
+        assert n == 12
+        mfds = tig.MultiFrameDataset(
+            str(tmp_path / "cache"), "horse", s2v, spv, num_frames=2,
+            img_size=64, mirror=True, transforms=True, tight_bboxes=True,
+        )
+        sample = mfds[3]
+        assert sample["img"].shape == (2, 64, 64, 3)
+        assert sample["mask"].shape == (2, 64, 64)
+        assert sample["kp"].shape == (2, 18, 3)  # neck kp removed
+        assert sample["sfm_pose"].shape == (2, 7)
+        assert sample["frames_idx"].shape == (2,)
+        # frames come from the same video
+        assert s2v[int(sample["frames_idx"][0])] == s2v[int(sample["frames_idx"][1])]
+        # kps may leave the crop slightly under tight bboxes + affine zoom
+        assert np.all(np.abs(sample["kp"][..., :2]) <= 2.0)
+
+    def test_sequential_mode(self, tmp_path):
+        root = self.make_videos(tmp_path)
+        ds = tig.VideoPklDataset(root, "horse", split="all")
+        n, s2v, spv = tig.explode_to_frames(ds, str(tmp_path / "cache2"), "horse")
+        mfds = tig.MultiFrameDataset(
+            str(tmp_path / "cache2"), "horse", s2v, spv, num_frames=2,
+            img_size=64, mirror=False, transforms=False, sequential=True,
+        )
+        s = mfds[0]
+        np.testing.assert_array_equal(s["frames_idx"], [0, 1])
+
+    def test_split_determinism(self):
+        t1, tr1 = tig.tigdog_test_split(30)
+        t2, tr2 = tig.tigdog_test_split(30)
+        np.testing.assert_array_equal(t1, t2)
+        assert len(t1) == 14 and len(set(t1) & set(tr1)) == 0
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])

@@ -16,7 +16,7 @@ from acfm_video_3d_reconstruction_tpu.models import build_template
 from acfm_video_3d_reconstruction_tpu.multiplex import state as mpx_lib
 from acfm_video_3d_reconstruction_tpu.train import multiframe as mf
 
-IMG = 32
+IMG = 64
 T = 2
 B = 2
 G = 4
