@@ -44,11 +44,16 @@ def _conv(p, x, stride=1, dilation=1, act=True):
 
 
 def _deconv(p, x):
-    """ConvTranspose2d(k=4, s=2, p=1) equivalent."""
-    out = jax.lax.conv_transpose(
-        x, p["w"], strides=(2, 2), padding=[(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        transpose_kernel=True,
+    """ConvTranspose2d(k=4, s=2, p=1) equivalent via input dilation.
+
+    Kernel stored as (kh, kw, Cout, Cin) (forward-conv view of the torch
+    (Cin, Cout, kh, kw) weight); spatially flipped + axes swapped here.
+    out_size = 2 * in_size.
+    """
+    w = jnp.flip(p["w"], (0, 1)).swapaxes(2, 3)  # (kh, kw, Cin, Cout)
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=[(2, 2), (2, 2)],
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
     ) + p["b"]
     return out
 

@@ -90,11 +90,15 @@ def _rasterize_one(
     sigma: float,
     blur_radius: float,
     face_chunk: int,
+    *,
+    soft: bool = True,
 ) -> Fragments:
     """Rasterize one mesh (V, 3 projected) against all pixels.
 
     Single pass over face chunks; O(1) state per pixel. Fully unrolled by
     lax.scan; the chunk body is rematerialized in the backward pass.
+    `soft=False` skips the edge-distance / blending math entirely (hard
+    rasterization needs only coverage + depth + barycentrics).
     """
     P = image_size * image_size
     pix = pixel_grid(image_size, verts.dtype)  # (P, 2)
@@ -138,19 +142,26 @@ def _rasterize_one(
         bary_c = bary_c / jnp.maximum(bary_c.sum(-1, keepdims=True), 1e-12)
         zpix = (bary_c * z[None]).sum(-1)  # (P, FC)
 
-        # Squared distance to the triangle boundary, signed (neg inside).
-        d_sq = jnp.minimum(
-            jnp.minimum(_edge_dist_sq(p, an, bn), _edge_dist_sq(p, bn, cn)),
-            _edge_dist_sq(p, cn, an),
-        )
-        signed = jnp.where(inside, -d_sq, d_sq)  # (P, FC)
-
-        # `inside` (all bary >= 0) always rasterizes, including exact-edge
-        # pixels where signed == 0 (matters for hard raster, blur_radius=0).
-        in_radius = inside | (signed < blur_radius)
-        # log(1 - sigmoid(-d/sigma)) = log_sigmoid(d/sigma)
-        log1mp = jnp.where(in_radius, jax.nn.log_sigmoid(signed / sigma), 0.0)
-        neg_log = state.neg_log_1malpha + log1mp.sum(-1)
+        if soft:
+            # Squared distance to the triangle boundary, signed (neg inside).
+            d_sq = jnp.minimum(
+                jnp.minimum(_edge_dist_sq(p, an, bn), _edge_dist_sq(p, bn, cn)),
+                _edge_dist_sq(p, cn, an),
+            )
+            signed = jnp.where(inside, -d_sq, d_sq)  # (P, FC)
+            # `inside` (all bary >= 0) always rasterizes, including
+            # exact-edge pixels where signed == 0.
+            in_radius = inside | (signed < blur_radius)
+            # log(1 - sigmoid(-d/sigma)) = log_sigmoid(d/sigma)
+            log1mp = jnp.where(in_radius, jax.nn.log_sigmoid(signed / sigma), 0.0)
+            neg_log = state.neg_log_1malpha + log1mp.sum(-1)
+        else:
+            in_radius = inside
+            # hard coverage: alpha ~ 1 where any face covers the pixel
+            neg_log = jnp.minimum(
+                state.neg_log_1malpha,
+                jnp.where(inside.any(-1), jnp.asarray(-16.0, verts.dtype), 0.0),
+            )
 
         # Depth test among in-radius faces.
         z_masked = jnp.where(in_radius, zpix, _BIG)
@@ -181,6 +192,7 @@ def rasterize(
     sigma: float = SIGMA,
     blur_radius: float = BLUR_RADIUS,
     face_chunk: int = 128,
+    soft: bool = True,
 ) -> Fragments:
     """Batched soft rasterization.
 
@@ -198,8 +210,18 @@ def rasterize(
         sigma=sigma,
         blur_radius=blur_radius,
         face_chunk=face_chunk,
+        soft=soft,
     )
     return jax.vmap(fn)(verts)
+
+
+def _use_tpu_kernel(image_size: int) -> bool:
+    """Dispatch to the Pallas kernel on TPU backends (trace-time check)."""
+    import os
+
+    if os.environ.get("ACFM_DISABLE_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu" and image_size % 8 == 0
 
 
 def soft_silhouette(
@@ -210,13 +232,21 @@ def soft_silhouette(
     sigma: float = SIGMA,
     blur_radius: float = BLUR_RADIUS,
     face_chunk: int = 128,
+    impl: str = "auto",
 ) -> tuple[jax.Array, jax.Array]:
     """Soft silhouette mask + pix_to_face.
 
     Equivalent to reference NeuralRenderer.forward without textures
     (monocular/nnutils/nmr.py:199-224): returns (mask (B,H,W) in [0,1],
-    pix_to_face (B,H,W) int32).
+    pix_to_face (B,H,W) int32). On TPU, dispatches to the binned Pallas
+    kernel (ops/rasterizer_tpu.py, golden-tested against this path).
     """
+    if impl == "tpu" or (impl == "auto" and _use_tpu_kernel(image_size)):
+        from . import rasterizer_tpu
+
+        return rasterizer_tpu.soft_silhouette_tpu(
+            verts, faces, image_size, 256, sigma, blur_radius
+        )
     frags = rasterize(
         verts, faces, image_size, sigma=sigma, blur_radius=blur_radius,
         face_chunk=face_chunk,
@@ -242,7 +272,7 @@ def hard_rasterize(
     """
     return rasterize(
         verts, faces, image_size, sigma=SIGMA, blur_radius=0.0,
-        face_chunk=face_chunk,
+        face_chunk=face_chunk, soft=False,
     )
 
 
@@ -276,6 +306,7 @@ def render_texture(
     image_size: int,
     *,
     face_chunk: int = 128,
+    impl: str = "auto",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Textured render with all-ambient light and hard rasterization.
 
@@ -285,10 +316,22 @@ def render_texture(
     the texture pass: monocular/main.py:238).
     """
     verts = jax.lax.stop_gradient(verts)
-    frags = hard_rasterize(verts, faces, image_size, face_chunk=face_chunk)
-    rgb, covered = sample_atlas(atlas, frags.pix_to_face, frags.bary)
     B = verts.shape[0]
     shape = (B, image_size, image_size)
+    if impl == "tpu" or (impl == "auto" and _use_tpu_kernel(image_size)):
+        from . import rasterizer_tpu
+
+        out = rasterizer_tpu.hard_rasterize_tpu(verts, faces, image_size)
+        rgb, covered = sample_atlas(
+            atlas, out.pix_to_face.reshape(B, -1), out.bary.reshape(B, -1, 3)
+        )
+        return (
+            rgb.reshape(B, image_size, image_size, -1),
+            covered.astype(verts.dtype).reshape(shape),
+            out.pix_to_face,
+        )
+    frags = hard_rasterize(verts, faces, image_size, face_chunk=face_chunk)
+    rgb, covered = sample_atlas(atlas, frags.pix_to_face, frags.bary)
     return (
         rgb.reshape(B, image_size, image_size, -1),
         covered.astype(verts.dtype).reshape(shape),

@@ -1,0 +1,115 @@
+"""Eval metrics, checkpoint roundtrip, TTO improvement test."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acfm_video_3d_reconstruction_tpu import config as cfg_lib
+from acfm_video_3d_reconstruction_tpu.eval import metrics as em
+from acfm_video_3d_reconstruction_tpu.eval.predictor import TTOConfig, make_tto_step_fn
+from acfm_video_3d_reconstruction_tpu.models import build_template
+from acfm_video_3d_reconstruction_tpu.train import checkpoints
+
+
+class TestMetrics:
+    def test_mask_iou(self):
+        a = np.zeros((2, 4, 4), np.float32)
+        a[:, :2] = 1
+        np.testing.assert_allclose(em.mask_iou(a, a), 1.0)
+        b = np.ones((2, 4, 4), np.float32)
+        np.testing.assert_allclose(em.mask_iou(a, b), 0.5)
+
+    def test_kp_errors_scaling(self):
+        kp_gt = np.zeros((1, 2, 3))
+        kp_gt[..., 2] = 1
+        kp_pred = np.zeros((1, 2, 2))
+        kp_pred[0, 0, 0] = 0.2
+        err, vis = em.kp_errors(kp_pred, kp_gt, padding_frac=0.05)
+        np.testing.assert_allclose(err[0, 0], 0.2 * 1.1 / 2.0, atol=1e-6)
+        np.testing.assert_allclose(vis, 1.0)
+
+    def test_bench_stats_aggregation(self):
+        stats = em.BenchStats()
+        stats.update(np.asarray([0.5, 0.7]), np.asarray([[0.05], [0.2]]),
+                     np.asarray([[1.0], [1.0]]))
+        r = stats.results()
+        assert r["mean_iou"] == pytest.approx(0.6)
+        assert r["pck_0.1"] == pytest.approx(0.5)
+        assert r["pck_0.15"] == pytest.approx(0.5)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        state = {
+            "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+            "step": jnp.asarray(7, jnp.int32),
+        }
+        checkpoints.save(str(tmp_path), "exp", "latest", state)
+        assert checkpoints.exists(str(tmp_path), "exp", "latest")
+        zero = jax.tree_util.tree_map(jnp.zeros_like, state)
+        restored = checkpoints.restore(str(tmp_path), "exp", "latest", zero)
+        np.testing.assert_allclose(restored["params"]["w"], state["params"]["w"])
+        assert int(restored["step"]) == 7
+
+
+class TestTTO:
+    def test_tto_reduces_loss(self):
+        """TTO on delta_v_res should reduce the silhouette loss vs a shifted
+        GT mask rendered from a known deformed template."""
+        template = build_template(subdivide=1, num_lbs=6, tex_size=2, num_kps=0)
+        cfg = cfg_lib.Config(
+            model=dataclasses.replace(
+                cfg_lib.ModelConfig(), img_size=32, num_lbs=6, num_kps=0,
+                texture=False, symmetric=False, symmetric_texture=False,
+            ),
+            train=dataclasses.replace(cfg_lib.TrainConfig(), offset_z=0.0),
+        )
+
+        import types
+
+        mods = types.SimpleNamespace(template=template, cfg=cfg)
+
+        from acfm_video_3d_reconstruction_tpu.deform.solve import lbs_from_logits
+        from acfm_video_3d_reconstruction_tpu.geometry import camera as cam_utils
+        from acfm_video_3d_reconstruction_tpu.ops import rasterizer as ras
+
+        mean_shape = jnp.asarray(template.verts) * 0.5
+        lbs = lbs_from_logits(jnp.asarray(template.lbs_logits))
+        cam = jnp.tile(jnp.asarray([[1.0, 0, 0, 1, 0, 0, 0]]), (2, 1))
+
+        # GT: template deformed by a known handle offset
+        rng = np.random.default_rng(0)
+        gt_delta = jnp.asarray(rng.normal(size=(2, 6, 3)) * 0.1, jnp.float32)
+        from acfm_video_3d_reconstruction_tpu.geometry.mesh_ops import cot_laplacian
+        from acfm_video_3d_reconstruction_tpu.deform.solve import screened_poisson_solve
+
+        faces = jnp.asarray(template.faces)
+        Lc = cot_laplacian(mean_shape, faces)
+        gt_v = screened_poisson_solve(mean_shape, lbs, gt_delta, Lc)
+        proj = cam_utils.orthographic_proj_withz(gt_v, cam, offset_z=0.0)
+        gt_mask, _ = ras.soft_silhouette(proj, faces, 32, face_chunk=80)
+        gt_mask = (gt_mask > 0.5).astype(jnp.float32)
+
+        batch = {
+            "mask": gt_mask,
+            "edt": jnp.zeros((2, 32, 32)),
+            "boundaries": jnp.zeros((2, 8, 3)),
+        }
+        tto = TTOConfig(num_iter=30, lr=2e-2, of_wt=0.0, edt_wt=0.0, bdt_wt=0.0)
+        fn = make_tto_step_fn(mods, tto, num_frames=1, face_chunk=80)
+        delta0 = jnp.zeros((2, 6, 3))
+        pred_v, cam_out, final_loss = fn(mean_shape, lbs, delta0, cam, batch)
+
+        # initial loss with zero deformation
+        proj0 = cam_utils.orthographic_proj_withz(
+            screened_poisson_solve(mean_shape, lbs, delta0, Lc), cam, offset_z=0.0
+        )
+        m0, _ = ras.soft_silhouette(proj0, faces, 32, face_chunk=80)
+        init_loss = float(jnp.abs(m0 - gt_mask).mean())
+        assert float(final_loss) < init_loss, (float(final_loss), init_loss)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])

@@ -36,6 +36,7 @@ class TestCorrelation:
 class TestDeformConv:
     def test_matches_torchvision(self):
         torch = pytest.importorskip("torch")
+        tv = pytest.importorskip("torchvision")
         from torchvision.ops import deform_conv2d
 
         rng = np.random.default_rng(0)
@@ -64,7 +65,7 @@ class TestWarpResample:
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.normal(size=(1, 8, 8, 3)).astype(np.float32))
         out = ops.backward_warp(x, jnp.zeros((1, 8, 8, 2)))
-        np.testing.assert_allclose(out, x, atol=1e-6)
+        np.testing.assert_allclose(out, x, atol=1e-5)
 
     def test_integer_shift(self):
         x = jnp.zeros((1, 8, 8, 1)).at[0, 2, 3, 0].set(1.0)
