@@ -105,6 +105,7 @@ def maskflownet_s(params: Mapping[str, Any], im1: jax.Array, im2: jax.Array,
     flows = [flow6]
     masks = [mask6]
     cur_x = x
+    mask = mask6
     for lvl in (5, 4, 3, 2):
         i = 6 - lvl  # 1..4
         feat = jax.nn.leaky_relu(_deconv(params[f"upfeat{lvl}"], cur_x), LEAK)
@@ -135,7 +136,9 @@ def maskflownet_s(params: Mapping[str, Any], im1: jax.Array, im2: jax.Array,
     flows[-1] = flows[-1] + _conv(params["dc_conv7"], y, act=False)
 
     predictions = [f * scale for f in flows]
-    mask2 = masks[-1]
+    # mask2 = the stride-4 upsampled mask from the level-2 iteration (the
+    # reference has no pred_mask2; MaskFlownet.py level-2 block).
+    mask2 = mask
     occlusion_masks = [jax.nn.sigmoid(mask2)]
 
     mask0 = jax.nn.sigmoid(ops.upsample2d_flow(mask2, 4)) - 0.5

@@ -223,14 +223,16 @@ class TestGeodesic:
         logits, idx = geodesic.init_lbs_logits(v, f, num_lbs=8)
         assert logits.shape == (len(v), 8)
         assert np.all(np.isfinite(logits))
-        w = jax.nn.softmax(jnp.asarray(logits), axis=0)
-        # each handle's weight should peak at (or adjacent to) its own vertex
-        peak = np.asarray(jnp.argmax(w, axis=0))
-        assert (peak == idx).mean() >= 0.75
+        w = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=0))
+        # each handle's own vertex carries the (possibly tied) max weight
+        col_max = w.max(axis=0)
+        np.testing.assert_allclose(w[idx, np.arange(8)], col_max, rtol=1e-5)
 
     def test_vert2kp_inits(self):
         v, f = icosphere.icosphere(1)
-        kp_pts = v[[0, 5, 10]]
+        # offset points slightly so no vertex coincides exactly (the
+        # reference's SfM kp locations never coincide with mesh verts)
+        kp_pts = v[[0, 5, 10]] * 1.05
         logits = geodesic.init_vert2kp_logits_from_points(v, kp_pts)
         assert logits.shape == (3, len(v))
         w = jax.nn.softmax(jnp.asarray(logits), axis=1)
