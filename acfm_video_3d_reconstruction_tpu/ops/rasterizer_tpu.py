@@ -295,7 +295,7 @@ def _untile(x, image_size, tile_h, tile_w):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6)
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6)
 )
 def soft_silhouette_tpu(
     verts,
@@ -310,6 +310,8 @@ def soft_silhouette_tpu(
 
     Same semantics as ops.rasterizer.soft_silhouette (modulo top-K bin
     overflow); analytic gradients to `verts` through the alpha channel.
+    (`faces` is a real argument — int arrays must not be nondiff_argnums —
+    with a zero cotangent.)
     """
     out, _ = _soft_fwd(verts, faces, image_size, K, sigma, blur_radius, interpret)
     return out
@@ -329,12 +331,12 @@ def _soft_fwd(verts, faces, image_size, K, sigma, blur_radius, interpret):
     )
     p2f = jnp.where(covered, gathered, -1).reshape(slot.shape)
     p2f = _untile(p2f, image_size, th, tw).astype(jnp.int32)
-    residual = (verts, S, idx)
+    residual = (verts, faces, S, idx)
     return (mask, p2f), residual
 
 
-def _soft_bwd(faces, image_size, K, sigma, blur_radius, interpret, residual, cot):
-    verts, S, idx = residual
+def _soft_bwd(image_size, K, sigma, blur_radius, interpret, residual, cot):
+    verts, faces, S, idx = residual
     cot_mask, _ = cot  # p2f is int -> zero cotangent
     B = verts.shape[0]
     K = min(K, faces.shape[0])
@@ -390,7 +392,7 @@ def _soft_bwd(faces, image_size, K, sigma, blur_radius, interpret, residual, cot
     vgrad = jax.vmap(
         lambda vg, gg: vg.at[faces.reshape(-1)].add(gg.reshape(-1, 3))
     )(vgrad, gfv)
-    return (vgrad,)
+    return (vgrad, None)
 
 
 soft_silhouette_tpu.defvjp(_soft_fwd, _soft_bwd)
