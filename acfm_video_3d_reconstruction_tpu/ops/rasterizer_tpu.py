@@ -83,13 +83,15 @@ def _face_tables(verts: jax.Array, faces: jax.Array, image_size: int,
         & (ymax[:, None, :] >= ty0[None, :, None])
     )
     # top-K by overlap (stable order by face index among equal keys)
-    K = min(K, F)
+    k_sel = min(K, F)
     score = ov.astype(jnp.float32) * 2.0 - (
         jnp.arange(F, dtype=jnp.float32) / F
     )[None, None, :]
-    _, idx = jax.lax.top_k(score, K)  # (B, T, K)
+    _, idx = jax.lax.top_k(score, k_sel)  # (B, T, k_sel)
     valid = jnp.take_along_axis(ov, idx, axis=-1)
     idx = jnp.where(valid, idx, -1).astype(jnp.int32)
+    if K > k_sel:  # pad slots beyond F with invalid entries
+        idx = jnp.pad(idx, [(0, 0), (0, 0), (0, K - k_sel)], constant_values=-1)
 
     # gather face data
     comp = jnp.concatenate(
@@ -173,35 +175,45 @@ def _face_geometry(c, px, py, sigma, blur_radius, soft):
     return log1mp, z, b0c, b1c, in_radius
 
 
-def _fwd_kernel(image_size, tile_h, tile_w, K, sigma, blur_radius, soft,
+K_CHUNK = 64  # faces per grid step; face-table chunk lives in SMEM (4 KB)
+
+
+def _fwd_kernel(image_size, tile_h, tile_w, k_chunk, sigma, blur_radius, soft,
                 tab_ref, s_ref, slot_ref, b0_ref, b1_ref, z_ref):
+    """Grid (B, T, NKC). tab_ref: (1, 1, 16, k_chunk) in SMEM (dynamic
+    scalar indexing is only legal in scalar memory — Mosaic rejects dynamic
+    lane offsets in VMEM). Output blocks are revisited across the NKC axis
+    and stay resident in VMEM; initialized at kc == 0."""
     t = pl.program_id(1)
+    kc = pl.program_id(2)
     px, py = _tile_pixels(t, image_size, tile_h, tile_w, jnp.float32)
+    shape = (tile_h, tile_w)
+
+    @pl.when(kc == 0)
+    def _():
+        s_ref[0, 0] = jnp.zeros(shape, jnp.float32)
+        slot_ref[0, 0] = jnp.full(shape, -1, jnp.int32)
+        b0_ref[0, 0] = jnp.zeros(shape, jnp.float32)
+        b1_ref[0, 0] = jnp.zeros(shape, jnp.float32)
+        z_ref[0, 0] = jnp.full(shape, _BIG, jnp.float32)
 
     def body(k, state):
         S, slot, bb0, bb1, zbuf = state
-        c = tab_ref[0, 0, :, k]
+        c = [tab_ref[0, 0, i, k] for i in range(9)]
         log1mp, z, b0, b1, in_r = _face_geometry(
             c, px, py, sigma, blur_radius, soft
         )
         S = S + log1mp
         zm = jnp.where(in_r, z, _BIG)
         better = zm < zbuf
-        slot = jnp.where(better, k, slot)
+        slot = jnp.where(better, kc * k_chunk + k, slot)
         bb0 = jnp.where(better, b0, bb0)
         bb1 = jnp.where(better, b1, bb1)
         zbuf = jnp.where(better, zm, zbuf)
         return S, slot, bb0, bb1, zbuf
 
-    shape = (tile_h, tile_w)
-    init = (
-        jnp.zeros(shape, jnp.float32),
-        jnp.full(shape, -1, jnp.int32),
-        jnp.zeros(shape, jnp.float32),
-        jnp.zeros(shape, jnp.float32),
-        jnp.full(shape, _BIG, jnp.float32),
-    )
-    S, slot, bb0, bb1, zbuf = jax.lax.fori_loop(0, K, body, init)
+    init = (s_ref[0, 0], slot_ref[0, 0], b0_ref[0, 0], b1_ref[0, 0], z_ref[0, 0])
+    S, slot, bb0, bb1, zbuf = jax.lax.fori_loop(0, k_chunk, body, init)
     s_ref[0, 0] = S
     slot_ref[0, 0] = slot
     b0_ref[0, 0] = bb0
@@ -209,28 +221,36 @@ def _fwd_kernel(image_size, tile_h, tile_w, K, sigma, blur_radius, soft,
     z_ref[0, 0] = zbuf
 
 
-def _bwd_kernel(image_size, tile_h, tile_w, K, sigma, blur_radius,
+def _bwd_kernel(image_size, tile_h, tile_w, k_chunk, sigma, blur_radius,
                 tab_ref, a_ref, grad_ref):
     """Accumulate d(loss)/d(face coords) per (tile, slot).
 
-    a_ref: (1, 1, th, tw) = cot_mask * (-exp(S)) chain factor.
-    grad_ref out: (1, 1, 16, K).
+    Grid (B, T, NKC). a_ref: (1, 1, th, tw) = cot_mask * (-exp(S)).
+    grad_ref out: (1, 1, k_chunk, 16) written once per grid step; rows are
+    scattered into place with a one-hot outer product (no dynamic-sublane
+    stores, which Mosaic rejects).
     """
     t = pl.program_id(1)
     px, py = _tile_pixels(t, image_size, tile_h, tile_w, jnp.float32)
     A = a_ref[0, 0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (k_chunk, 16), 0)
 
     def face_term(c):
         log1mp, _, _, _, _ = _face_geometry(c, px, py, sigma, blur_radius, True)
         return jnp.sum(A * log1mp)
 
-    def body(k, _):
-        c = tab_ref[0, 0, :, k]
-        g = jax.grad(face_term)(c)  # (16,)
-        grad_ref[0, 0, :, k] = g
-        return 0
+    grad_fn = jax.grad(face_term)
 
-    jax.lax.fori_loop(0, K, body, 0)
+    def body(k, G):
+        c = [tab_ref[0, 0, i, k] for i in range(9)]
+        g = grad_fn(c)  # list of 9 scalars
+        grow = jnp.concatenate(
+            [jnp.asarray(g).reshape(9), jnp.zeros((7,), jnp.float32)]
+        )
+        return G + jnp.where(row_ids == k, grow[None, :], 0.0)
+
+    G = jax.lax.fori_loop(0, k_chunk, body, jnp.zeros((k_chunk, 16), jnp.float32))
+    grad_ref[0, 0] = G
 
 
 class TPUFragments(NamedTuple):
@@ -248,17 +268,22 @@ def _pick_tiles(image_size: int) -> tuple[int, int]:
     return tile_h, tile_w
 
 
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
 def _run_fwd(verts, faces, image_size, K, sigma, blur_radius, soft, interpret):
     B = verts.shape[0]
-    K = min(K, faces.shape[0])
+    K = _round_up(min(K, faces.shape[0]), K_CHUNK)
     tile_h, tile_w = _pick_tiles(image_size)
     n_t = (image_size // tile_h) * (image_size // tile_w)
+    n_kc = K // K_CHUNK
     margin = math.sqrt(max(blur_radius, 0.0)) if soft else 0.0
     tab, idx = _face_tables(
         verts, faces, image_size, tile_h, tile_w, K, margin
     )
     kern = functools.partial(
-        _fwd_kernel, image_size, tile_h, tile_w, K, sigma, blur_radius, soft
+        _fwd_kernel, image_size, tile_h, tile_w, K_CHUNK, sigma, blur_radius, soft
     )
     out_shapes = [
         jax.ShapeDtypeStruct((B, n_t, tile_h, tile_w), jnp.float32),
@@ -268,15 +293,15 @@ def _run_fwd(verts, faces, image_size, K, sigma, blur_radius, soft, interpret):
         jax.ShapeDtypeStruct((B, n_t, tile_h, tile_w), jnp.float32),
     ]
     tile_spec = pl.BlockSpec(
-        (1, 1, tile_h, tile_w), lambda b, t: (b, t, 0, 0),
+        (1, 1, tile_h, tile_w), lambda b, t, kc: (b, t, 0, 0),
         memory_space=pltpu.VMEM,
     )
     S, slot, b0, b1, zbuf = pl.pallas_call(
         kern,
-        grid=(B, n_t),
+        grid=(B, n_t, n_kc),
         in_specs=[
-            pl.BlockSpec((1, 1, 16, K), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 16, K_CHUNK), lambda b, t, kc: (b, t, 0, kc),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[tile_spec] * 5,
         out_shape=out_shapes,
@@ -339,9 +364,10 @@ def _soft_bwd(image_size, K, sigma, blur_radius, interpret, residual, cot):
     verts, faces, S, idx = residual
     cot_mask, _ = cot  # p2f is int -> zero cotangent
     B = verts.shape[0]
-    K = min(K, faces.shape[0])
+    K = _round_up(min(K, faces.shape[0]), K_CHUNK)
     tile_h, tile_w = _pick_tiles(image_size)
     n_t = (image_size // tile_h) * (image_size // tile_w)
+    n_kc = K // K_CHUNK
     margin = math.sqrt(max(blur_radius, 0.0))
     tab, idx2 = _face_tables(verts, faces, image_size, tile_h, tile_w, K, margin)
 
@@ -353,26 +379,26 @@ def _soft_bwd(image_size, K, sigma, blur_radius, interpret, residual, cot):
     A = cot_t * (-jnp.exp(S))
 
     kern = functools.partial(
-        _bwd_kernel, image_size, tile_h, tile_w, K, sigma, blur_radius
+        _bwd_kernel, image_size, tile_h, tile_w, K_CHUNK, sigma, blur_radius
     )
     grads = pl.pallas_call(
         kern,
-        grid=(B, n_t),
+        grid=(B, n_t, n_kc),
         in_specs=[
-            pl.BlockSpec((1, 1, 16, K), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile_h, tile_w), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, 16, K_CHUNK), lambda b, t, kc: (b, t, 0, kc),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, tile_h, tile_w), lambda b, t, kc: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 16, K), lambda b, t: (b, t, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, K_CHUNK, 16), lambda b, t, kc: (b, t, kc, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n_t, 16, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n_t, K, 16), jnp.float32),
         interpret=interpret,
     )(tab, A)
 
     # scatter per-slot gradients back to faces then vertices
     F = faces.shape[0]
-    g = jnp.swapaxes(grads, 2, 3).reshape(B, n_t * K, 16)[..., :9]
+    g = grads.reshape(B, n_t * K, 16)[..., :9]
     flat_idx = idx2.reshape(B, n_t * K)
     safe = jnp.where(flat_idx >= 0, flat_idx, F)  # F = dump row
     face_grad = jnp.zeros((B, F + 1, 9), jnp.float32)
