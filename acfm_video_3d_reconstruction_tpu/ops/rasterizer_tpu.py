@@ -272,6 +272,16 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _chunk_table(tab: jax.Array, n_kc: int) -> jax.Array:
+    """(B, T, 16, K) -> (B, T*n_kc, 16, K_CHUNK): one full block per chunk
+    (Pallas TPU block last dims must equal the array's or be 8/128-aligned)."""
+    B, T, C, K = tab.shape
+    kc = K // n_kc
+    tab = tab.reshape(B, T, C, n_kc, kc)
+    tab = jnp.moveaxis(tab, 3, 2)  # (B, T, n_kc, C, kc)
+    return tab.reshape(B, T * n_kc, C, kc)
+
+
 def _run_fwd(verts, faces, image_size, K, sigma, blur_radius, soft, interpret):
     B = verts.shape[0]
     K = _round_up(min(K, faces.shape[0]), K_CHUNK)
@@ -282,6 +292,7 @@ def _run_fwd(verts, faces, image_size, K, sigma, blur_radius, soft, interpret):
     tab, idx = _face_tables(
         verts, faces, image_size, tile_h, tile_w, K, margin
     )
+    tab = _chunk_table(tab, n_kc)  # (B, T*n_kc, 16, K_CHUNK)
     kern = functools.partial(
         _fwd_kernel, image_size, tile_h, tile_w, K_CHUNK, sigma, blur_radius, soft
     )
@@ -300,8 +311,11 @@ def _run_fwd(verts, faces, image_size, K, sigma, blur_radius, soft, interpret):
         kern,
         grid=(B, n_t, n_kc),
         in_specs=[
-            pl.BlockSpec((1, 1, 16, K_CHUNK), lambda b, t, kc: (b, t, 0, kc),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, 16, K_CHUNK),
+                lambda b, t, kc, n_kc=n_kc: (b, t * n_kc + kc, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
         ],
         out_specs=[tile_spec] * 5,
         out_shape=out_shapes,
@@ -370,6 +384,7 @@ def _soft_bwd(image_size, K, sigma, blur_radius, interpret, residual, cot):
     n_kc = K // K_CHUNK
     margin = math.sqrt(max(blur_radius, 0.0))
     tab, idx2 = _face_tables(verts, faces, image_size, tile_h, tile_w, K, margin)
+    tab = _chunk_table(tab, n_kc)
 
     # A = dL/dS per pixel = cot_mask * (-exp(S)), tiled like the kernel.
     n_ty = image_size // tile_h
@@ -385,8 +400,11 @@ def _soft_bwd(image_size, K, sigma, blur_radius, interpret, residual, cot):
         kern,
         grid=(B, n_t, n_kc),
         in_specs=[
-            pl.BlockSpec((1, 1, 16, K_CHUNK), lambda b, t, kc: (b, t, 0, kc),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, 16, K_CHUNK),
+                lambda b, t, kc, n_kc=n_kc: (b, t * n_kc + kc, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec((1, 1, tile_h, tile_w), lambda b, t, kc: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
