@@ -75,7 +75,7 @@ class LPIPS(nn.Module):
             d = d.mean(axis=-1, keepdims=True)  # baseline (lpips=False)
             d = jax.image.resize(d, (d.shape[0], H, W, 1), method="bilinear")
             total = total + d
-        return total
+        return total.astype(jnp.float32)
 
 
 def perceptual_texture_loss(

@@ -39,19 +39,20 @@ class MeshNet(nn.Module):
 
     def setup(self):
         t = self.template
+        # geometry parameters stay f32 regardless of the conv compute dtype
         self.mean_v = self.param(
-            "mean_v", lambda _: jnp.asarray(t.mean_v_init, self.dtype)
+            "mean_v", lambda _: jnp.asarray(t.mean_v_init, jnp.float32)
         )
         self.lbs_logits = self.param(
-            "lbs_logits", lambda _: jnp.asarray(t.lbs_logits, self.dtype)
+            "lbs_logits", lambda _: jnp.asarray(t.lbs_logits, jnp.float32)
         )
         if t.vert2kp_logits is not None and self.learnable_kp:
             self.vert2kp_logits = self.param(
-                "vert2kp_logits", lambda _: jnp.asarray(t.vert2kp_logits, self.dtype)
+                "vert2kp_logits", lambda _: jnp.asarray(t.vert2kp_logits, jnp.float32)
             )
         else:
             self.vert2kp_logits = (
-                jnp.asarray(t.vert2kp_logits, self.dtype)
+                jnp.asarray(t.vert2kp_logits, jnp.float32)
                 if t.vert2kp_logits is not None
                 else None
             )
@@ -92,20 +93,21 @@ class MeshNet(nn.Module):
         Returns delta_v (B, K, 3) handle offsets, cam_pred (B, 7) regressed
         camera, res_feats, img_feat.
         """
-        img_feat, res_feats = self.encoder(img, train=train)
+        img_feat, res_feats = self.encoder(img.astype(self.dtype), train=train)
         delta_v = self.code_predictor(img_feat)
         cam_pred = self.camera_predictor(res_feats)
         out = {
             "img_feat": img_feat,
             "res_feats": res_feats,
-            "delta_v": delta_v,
-            "cam_pred": cam_pred,
+            # geometry-facing outputs in f32 for the solve/render path
+            "delta_v": delta_v.astype(jnp.float32),
+            "cam_pred": cam_pred.astype(jnp.float32),
         }
         return out
 
     def textures(self, res_feats, train: bool = False) -> jax.Array:
-        """(B, F, T, T, 3) texture atlas from spatial features."""
-        return self.texture_predictor(res_feats, train=train)
+        """(B, F, T, T, 3) texture atlas from spatial features (f32 out)."""
+        return self.texture_predictor(res_feats, train=train).astype(jnp.float32)
 
     def init_all(self, img):
         """Init-time entry that touches every submodule so linen creates all

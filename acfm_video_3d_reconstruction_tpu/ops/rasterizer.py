@@ -245,7 +245,7 @@ def soft_silhouette(
         from . import rasterizer_tpu
 
         return rasterizer_tpu.soft_silhouette_tpu(
-            verts, faces, image_size, 256, sigma, blur_radius
+            verts, faces, image_size, 192, sigma, blur_radius
         )
     frags = rasterize(
         verts, faces, image_size, sigma=sigma, blur_radius=blur_radius,

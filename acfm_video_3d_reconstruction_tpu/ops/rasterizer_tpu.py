@@ -152,24 +152,25 @@ def _face_geometry(c, px, py, sigma, blur_radius, soft):
     b0c, b1c, b2c = b0c / s, b1c / s, b2c / s
     z = b0c * za + b1c * zb + b2c * zc
 
-    def seg_d2(ux, uy, vx, vy):
-        ex, ey = vx - ux, vy - uy
-        wx, wy = px - ux, py - uy
-        ee = jnp.maximum(ex * ex + ey * ey, 1e-12)
-        t = jnp.clip((wx * ex + wy * ey) / ee, 0.0, 1.0)
-        dx = wx - t * ex
-        dy = wy - t * ey
-        return dx * dx + dy * dy
-
-    d2 = jnp.minimum(
-        jnp.minimum(seg_d2(ax, ay, bx, by), seg_d2(bx, by, cx, cy)),
-        seg_d2(cx, cy, ax, ay),
-    )
-    signed = jnp.where(inside, -d2, d2)
     if soft:
+        def seg_d2(ux, uy, vx, vy):
+            ex, ey = vx - ux, vy - uy
+            wx, wy = px - ux, py - uy
+            ee = jnp.maximum(ex * ex + ey * ey, 1e-12)
+            t = jnp.clip((wx * ex + wy * ey) / ee, 0.0, 1.0)
+            dx = wx - t * ex
+            dy = wy - t * ey
+            return dx * dx + dy * dy
+
+        d2 = jnp.minimum(
+            jnp.minimum(seg_d2(ax, ay, bx, by), seg_d2(bx, by, cx, cy)),
+            seg_d2(cx, cy, ax, ay),
+        )
+        signed = jnp.where(inside, -d2, d2)
         in_radius = inside | (signed < blur_radius)
         log1mp = jnp.where(in_radius, jax.nn.log_sigmoid(signed / sigma), 0.0)
     else:
+        # hard rasterization: coverage only — no boundary distances needed
         in_radius = inside
         log1mp = jnp.where(inside, -16.0, 0.0)
     return log1mp, z, b0c, b1c, in_radius
@@ -288,7 +289,10 @@ def _run_fwd(verts, faces, image_size, K, sigma, blur_radius, soft, interpret):
     tile_h, tile_w = _pick_tiles(image_size)
     n_t = (image_size // tile_h) * (image_size // tile_w)
     n_kc = K // K_CHUNK
-    margin = math.sqrt(max(blur_radius, 0.0)) if soft else 0.0
+    # identical margin for soft and hard binning: the hard kernel ignores
+    # non-covering candidates, and a shared margin lets XLA CSE the top_k
+    # binning between the mask and texture renders of the same vertices.
+    margin = math.sqrt(max(blur_radius, BLUR_RADIUS))
     tab, idx = _face_tables(
         verts, faces, image_size, tile_h, tile_w, K, margin
     )
@@ -370,21 +374,20 @@ def _soft_fwd(verts, faces, image_size, K, sigma, blur_radius, interpret):
     )
     p2f = jnp.where(covered, gathered, -1).reshape(slot.shape)
     p2f = _untile(p2f, image_size, th, tw).astype(jnp.int32)
-    residual = (verts, faces, S, idx)
+    # the face tables are cheap to keep (few MB) and expensive to rebuild
+    # (top_k binning) — save them for the backward pass
+    residual = (verts, faces, S, idx, tab)
     return (mask, p2f), residual
 
 
 def _soft_bwd(image_size, K, sigma, blur_radius, interpret, residual, cot):
-    verts, faces, S, idx = residual
+    verts, faces, S, idx2, tab = residual
     cot_mask, _ = cot  # p2f is int -> zero cotangent
     B = verts.shape[0]
     K = _round_up(min(K, faces.shape[0]), K_CHUNK)
     tile_h, tile_w = _pick_tiles(image_size)
     n_t = (image_size // tile_h) * (image_size // tile_w)
     n_kc = K // K_CHUNK
-    margin = math.sqrt(max(blur_radius, 0.0))
-    tab, idx2 = _face_tables(verts, faces, image_size, tile_h, tile_w, K, margin)
-    tab = _chunk_table(tab, n_kc)
 
     # A = dL/dS per pixel = cot_mask * (-exp(S)), tiled like the kernel.
     n_ty = image_size // tile_h
@@ -446,7 +449,7 @@ def hard_rasterize_tpu(
     verts,
     faces,
     image_size: int,
-    K: int = 256,
+    K: int = 192,
     interpret: bool = False,
 ) -> TPUFragments:
     """Hard (coverage-only) rasterization; no gradient to verts."""

@@ -52,6 +52,7 @@ class MonoModules:
 def build(cfg: cfg_lib.Config, template: Template, rng: jax.Array):
     """Construct model/optimizer and the initial TrainState."""
     m = cfg.model
+    dtype = jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32
     model = MeshNet(
         template=template,
         nz_feat=m.nz_feat,
@@ -60,6 +61,7 @@ def build(cfg: cfg_lib.Config, template: Template, rng: jax.Array):
         scale_lr=m.scale_lr,
         small_camera_init=m.small_camera_init,
         learnable_kp=m.learnable_kp,
+        dtype=dtype,
     )
     dummy = jnp.zeros((1, m.img_size, m.img_size, 3), jnp.float32)
     variables = model.init(rng, dummy, method=model.init_all)
@@ -69,7 +71,7 @@ def build(cfg: cfg_lib.Config, template: Template, rng: jax.Array):
     lpips = None
     lpips_params = {}
     if m.texture:
-        lpips = LPIPS()
+        lpips = LPIPS(dtype=dtype)
         lp_vars = lpips.init(
             jax.random.fold_in(rng, 1), dummy, dummy
         )

@@ -35,6 +35,7 @@ def main():
         model=dataclasses.replace(
             cfg_lib.ModelConfig(), img_size=img_size, num_lbs=16, num_kps=15,
             texture=True, symmetric=False, symmetric_texture=False,
+            dtype="bfloat16",
         ),
         train=dataclasses.replace(cfg_lib.TrainConfig(), batch_size=batch),
     )
