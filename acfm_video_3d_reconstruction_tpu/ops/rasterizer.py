@@ -322,12 +322,10 @@ def render_texture(
         from . import rasterizer_tpu
 
         out = rasterizer_tpu.hard_rasterize_tpu(verts, faces, image_size)
-        rgb, covered = sample_atlas(
-            atlas, out.pix_to_face.reshape(B, -1), out.bary.reshape(B, -1, 3)
-        )
+        rgb, covered = rasterizer_tpu.sample_atlas_binned(atlas, out, image_size)
         return (
-            rgb.reshape(B, image_size, image_size, -1),
-            covered.astype(verts.dtype).reshape(shape),
+            rgb,
+            covered.astype(verts.dtype),
             out.pix_to_face,
         )
     frags = hard_rasterize(verts, faces, image_size, face_chunk=face_chunk)

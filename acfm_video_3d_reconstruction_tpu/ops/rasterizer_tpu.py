@@ -259,6 +259,12 @@ class TPUFragments(NamedTuple):
     pix_to_face: jax.Array  # (B, H, W) int32
     bary: jax.Array         # (B, H, W, 3)
     zbuf: jax.Array         # (B, H, W)
+    # tiled internals for binned atlas sampling (ops.rasterizer_tpu.sample_atlas_binned)
+    slot_t: jax.Array       # (B, T, th, tw) int32 per-tile slot ids
+    b0_t: jax.Array         # (B, T, th, tw)
+    b1_t: jax.Array         # (B, T, th, tw)
+    idx: jax.Array          # (B, T, K) slot -> global face id
+    tile: tuple             # (tile_h, tile_w)
 
 
 def _pick_tiles(image_size: int) -> tuple[int, int]:
@@ -471,4 +477,61 @@ def hard_rasterize_tpu(
     return TPUFragments(
         mask=mask, pix_to_face=p2f, bary=bary,
         zbuf=_untile(zbuf, image_size, th, tw),
+        slot_t=slot, b0_t=b0, b1_t=b1, idx=idx, tile=(th, tw),
     )
+
+
+def sample_atlas_binned(atlas: jax.Array, frags: TPUFragments, image_size: int):
+    """Per-face atlas sampling as per-tile one-hot matmuls (MXU path).
+
+    Replaces the flat gather (fwd) and its scatter-add transpose (bwd) —
+    both slow row-at-a-time ops on TPU — with batched
+    (pixels x K) @ (K x ncell*C) matmuls over the rasterizer's existing
+    face bins; autodiff gives the transposed matmuls for the atlas
+    gradient. Returns (rgb (B, H, W, C), covered (B, H, W) bool).
+    """
+    slot, b0, b1, idx = frags.slot_t, frags.b0_t, frags.b1_t, frags.idx
+    th, tw = frags.tile
+    B, T = slot.shape[:2]
+    K = idx.shape[-1]
+    F, Ts = atlas.shape[1], atlas.shape[2]
+    C = atlas.shape[-1]
+    ncell = Ts * Ts
+    P = th * tw
+
+    atlas_flat = atlas.reshape(B, F, ncell * C)
+    safe_idx = jnp.where(idx >= 0, idx, 0)
+    atlas_slots = jnp.take_along_axis(
+        atlas_flat[:, None], safe_idx[..., None].astype(jnp.int32), axis=2
+    )  # (B, T, K, ncell*C) — 73k-row gather, cheap
+
+    slot_flat = slot.reshape(B, T, P)
+    covered = slot_flat >= 0
+    slothot = (
+        (slot_flat[..., None] == jnp.arange(K, dtype=jnp.int32)) & covered[..., None]
+    ).astype(jnp.bfloat16)  # (B, T, P, K)
+    tmp = jnp.einsum(
+        "btpk,btkm->btpm", slothot, atlas_slots.astype(jnp.bfloat16)
+    )  # (B, T, P, ncell*C)
+
+    i0 = jnp.clip((b0.reshape(B, T, P) * Ts).astype(jnp.int32), 0, Ts - 1)
+    i1 = jnp.clip((b1.reshape(B, T, P) * Ts).astype(jnp.int32), 0, Ts - 1)
+    cell = i0 * Ts + i1  # (B, T, P)
+    cellhot = (
+        cell[..., None] == jnp.arange(ncell, dtype=jnp.int32)
+    ).astype(jnp.bfloat16)  # (B, T, P, ncell)
+    rgb = jnp.einsum(
+        "btpnc,btpn->btpc",
+        tmp.reshape(B, T, P, ncell, C),
+        cellhot,
+    ).astype(jnp.float32)
+    rgb = jnp.where(covered[..., None], rgb, 0.0)
+
+    rgb = rgb.reshape(B, T, th, tw, C)
+    n_ty = image_size // th
+    n_tx = image_size // tw
+    rgb = rgb.reshape(B, n_ty, n_tx, th, tw, C)
+    rgb = jnp.swapaxes(rgb, 2, 3).reshape(B, image_size, image_size, C)
+    cov = _untile(covered.reshape(B, T, th, tw).astype(jnp.float32),
+                  image_size, th, tw)
+    return rgb, cov > 0

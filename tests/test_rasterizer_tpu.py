@@ -56,6 +56,51 @@ class TestForwardParity:
         )
 
 
+class TestBinnedAtlas:
+    def test_matches_flat_gather(self, scene):
+        proj, faces = scene
+        frags = tpu.hard_rasterize_tpu(proj, faces, IMG, 320, interpret=INTERP)
+        rng = np.random.default_rng(0)
+        atlas = jnp.asarray(
+            rng.random((2, faces.shape[0], 4, 4, 3)).astype(np.float32)
+        )
+        B = 2
+        rgb_flat, cov_flat = ref.sample_atlas(
+            atlas, frags.pix_to_face.reshape(B, -1), frags.bary.reshape(B, -1, 3)
+        )
+        rgb_bin, cov_bin = tpu.sample_atlas_binned(atlas, frags, IMG)
+        np.testing.assert_array_equal(
+            np.asarray(cov_bin), np.asarray(cov_flat).reshape(B, IMG, IMG)
+        )
+        # bf16 matmul path: tolerance at bf16 epsilon on [0,1] colors
+        np.testing.assert_allclose(
+            np.asarray(rgb_bin),
+            np.asarray(rgb_flat).reshape(B, IMG, IMG, 3),
+            atol=1.6e-2,
+        )
+
+    def test_atlas_grads_match(self, scene):
+        proj, faces = scene
+        frags = tpu.hard_rasterize_tpu(proj, faces, IMG, 320, interpret=INTERP)
+        B = 2
+        w = jax.random.uniform(jax.random.PRNGKey(1), (B, IMG, IMG, 3))
+
+        def loss_flat(a):
+            rgb, _ = ref.sample_atlas(
+                a, frags.pix_to_face.reshape(B, -1), frags.bary.reshape(B, -1, 3)
+            )
+            return (rgb.reshape(B, IMG, IMG, 3) * w).sum()
+
+        def loss_bin(a):
+            rgb, _ = tpu.sample_atlas_binned(a, frags, IMG)
+            return (rgb * w).sum()
+
+        atlas = jnp.full((B, faces.shape[0], 4, 4, 3), 0.5)
+        g1 = np.asarray(jax.grad(loss_flat)(atlas))
+        g2 = np.asarray(jax.grad(loss_bin)(atlas))
+        np.testing.assert_allclose(g2, g1, atol=0.05, rtol=2e-2)
+
+
 class TestBackwardParity:
     def test_grad_matches_reference(self, scene):
         """Grad parity at a well-conditioned sigma.
