@@ -123,13 +123,12 @@ def make_tto_step_fn(
                 cam = cam_pred
             pred_v = solve(delta_res)
             proj_v = cam_utils.orthographic_proj_withz(pred_v, cam, offset_z=tto.offset_z)
-            mask_pred, pix_to_face = ras.soft_silhouette(
-                proj_v, faces, img_size, face_chunk=face_chunk
+            mask_pred, pix_to_face, vis = ras.soft_silhouette_vis(
+                proj_v, faces, img_size, t.num_verts, face_chunk=face_chunk
             )
             mask_loss = L.l1_loss(mask_pred, masks)
             pred_proj = cam_utils.project_points(pred_v, cam)
             edt = L.edt_loss(mask_pred, edts)
-            vis = ras.visible_vertices(pix_to_face, faces, t.num_verts)
             bdt = L.boundaries_loss(pred_proj, boundaries, vis)
             total = tto.mask_wt * mask_loss + tto.boundaries_wt * (
                 tto.edt_wt * edt + tto.bdt_wt * bdt

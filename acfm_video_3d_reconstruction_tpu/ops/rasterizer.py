@@ -244,9 +244,10 @@ def soft_silhouette(
     if impl == "tpu" or (impl == "auto" and _use_tpu_kernel(image_size)):
         from . import rasterizer_tpu
 
-        return rasterizer_tpu.soft_silhouette_tpu(
+        mask, p2f, _ = rasterizer_tpu.soft_silhouette_tpu(
             verts, faces, image_size, 192, sigma, blur_radius
         )
+        return mask, p2f
     frags = rasterize(
         verts, faces, image_size, sigma=sigma, blur_radius=blur_radius,
         face_chunk=face_chunk,
@@ -255,6 +256,37 @@ def soft_silhouette(
     alpha = 1.0 - jnp.exp(frags.neg_log_1malpha)
     shape = (B, image_size, image_size)
     return alpha.reshape(shape), frags.pix_to_face.reshape(shape)
+
+
+def soft_silhouette_vis(
+    verts: jax.Array,
+    faces: jax.Array,
+    image_size: int,
+    num_verts: int,
+    *,
+    sigma: float = SIGMA,
+    blur_radius: float = BLUR_RADIUS,
+    face_chunk: int = 128,
+    impl: str = "auto",
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Soft silhouette + pix_to_face + per-vertex visibility in one pass.
+
+    The TPU kernel derives visibility from its per-tile slot map (no
+    per-pixel scatter); the reference path composes soft_silhouette with
+    visible_vertices.
+    """
+    if impl == "tpu" or (impl == "auto" and _use_tpu_kernel(image_size)):
+        from . import rasterizer_tpu
+
+        return rasterizer_tpu.soft_silhouette_tpu(
+            verts, faces, image_size, 192, sigma, blur_radius
+        )
+    mask, p2f = soft_silhouette(
+        verts, faces, image_size, sigma=sigma, blur_radius=blur_radius,
+        face_chunk=face_chunk, impl="ref",
+    )
+    vis = visible_vertices(p2f, faces, num_verts)
+    return mask, p2f, vis
 
 
 def hard_rasterize(

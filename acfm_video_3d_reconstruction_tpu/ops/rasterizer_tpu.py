@@ -355,15 +355,46 @@ def soft_silhouette_tpu(
     blur_radius: float = BLUR_RADIUS,
     interpret: bool = False,
 ):
-    """Pallas soft silhouette: (mask (B,H,W), pix_to_face (B,H,W) int32).
+    """Pallas soft silhouette: (mask (B,H,W), pix_to_face (B,H,W) int32,
+    vis_verts (B, V) 0/1).
 
-    Same semantics as ops.rasterizer.soft_silhouette (modulo top-K bin
-    overflow); analytic gradients to `verts` through the alpha channel.
-    (`faces` is a real argument — int arrays must not be nondiff_argnums —
-    with a zero cotangent.)
+    Same semantics as ops.rasterizer.soft_silhouette + visible_vertices
+    (modulo top-K bin overflow); analytic gradients to `verts` through the
+    alpha channel. (`faces` is a real argument — int arrays must not be
+    nondiff_argnums — with a zero cotangent.)
     """
     out, _ = _soft_fwd(verts, faces, image_size, K, sigma, blur_radius, interpret)
     return out
+
+
+def visible_slots(slot: jax.Array, idx: jax.Array, faces, num_verts: int):
+    """(B, T, th, tw) slots + (B, T, K) face ids -> (B, V) 0/1 visibility.
+
+    Replaces the per-pixel scatter of ops.rasterizer.visible_vertices with
+    a per-(tile, slot) any-reduction + a tiny face scatter + a dense
+    face->vertex incidence matmul.
+    """
+    B, T = slot.shape[:2]
+    K = idx.shape[-1]
+    P = slot.shape[2] * slot.shape[3]
+    slot_flat = slot.reshape(B, T, P)
+    hit = (
+        slot_flat[..., None] == jnp.arange(K, dtype=jnp.int32)
+    ).any(axis=2)  # (B, T, K)
+    F = faces.shape[0]
+    safe = jnp.where(idx >= 0, idx, F)
+    vis_faces = jnp.zeros((B, F + 1), jnp.float32)
+    vis_faces = jax.vmap(
+        lambda vf, si, h: vf.at[si.reshape(-1)].max(h.reshape(-1).astype(jnp.float32))
+    )(vis_faces, safe, hit)
+    vis_faces = vis_faces[:, :F]
+    inc = jnp.zeros((F, num_verts), jnp.float32).at[
+        jnp.arange(F, dtype=jnp.int32)[:, None], faces
+    ].set(1.0)
+    vv = jnp.einsum(
+        "bf,fv->bv", vis_faces.astype(jnp.bfloat16), inc.astype(jnp.bfloat16)
+    )
+    return (vv.astype(jnp.float32) > 0).astype(jnp.float32)
 
 
 def _soft_fwd(verts, faces, image_size, K, sigma, blur_radius, interpret):
@@ -380,15 +411,16 @@ def _soft_fwd(verts, faces, image_size, K, sigma, blur_radius, interpret):
     )
     p2f = jnp.where(covered, gathered, -1).reshape(slot.shape)
     p2f = _untile(p2f, image_size, th, tw).astype(jnp.int32)
+    vis_verts = visible_slots(slot, idx, faces, verts.shape[1])
     # the face tables are cheap to keep (few MB) and expensive to rebuild
     # (top_k binning) — save them for the backward pass
     residual = (verts, faces, S, idx, tab)
-    return (mask, p2f), residual
+    return (mask, p2f, vis_verts), residual
 
 
 def _soft_bwd(image_size, K, sigma, blur_radius, interpret, residual, cot):
     verts, faces, S, idx2, tab = residual
-    cot_mask, _ = cot  # p2f is int -> zero cotangent
+    cot_mask = cot[0]  # p2f / vis_verts carry no gradient
     B = verts.shape[0]
     K = _round_up(min(K, faces.shape[0]), K_CHUNK)
     tile_h, tile_w = _pick_tiles(image_size)

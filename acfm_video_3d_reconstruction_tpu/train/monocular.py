@@ -161,8 +161,8 @@ def forward(
     proj_v = cam_utils.orthographic_proj_withz(
         pred_v, proj_cam, offset_z=cfg.train.offset_z
     )
-    mask_pred, pix_to_face = ras.soft_silhouette(
-        proj_v, faces, img_size, face_chunk=face_chunk
+    mask_pred, pix_to_face, vis_verts = ras.soft_silhouette_vis(
+        proj_v, faces, img_size, t.num_verts, face_chunk=face_chunk
     )
 
     metrics = {}
@@ -212,7 +212,6 @@ def forward(
     # silhouette consistency
     pred_proj2d = cam_utils.project_points(pred_v, proj_cam)
     edt_loss = L.edt_loss(mask_pred, edts)
-    vis_verts = ras.visible_vertices(pix_to_face, faces, t.num_verts)
     bdt_loss = L.boundaries_loss(pred_proj2d, boundaries, vis_verts)
     sil_cons = w.edt * edt_loss + w.bdt * bdt_loss
     total += w.boundaries * sil_cons

@@ -194,8 +194,8 @@ def _per_guess_losses(
     verts_rep = jnp.tile(pred_v, (k, 1, 1))
     cams_flat = cam_pred.reshape(k * BT, 7)
     proj_v = cam_utils.orthographic_proj_withz(verts_rep, cams_flat, offset_z=0.0)
-    mask_pred, pix_to_face = ras.soft_silhouette(
-        proj_v, faces, img_size, face_chunk=face_chunk
+    mask_pred, pix_to_face, vis_verts = ras.soft_silhouette_vis(
+        proj_v, faces, img_size, t.num_verts, face_chunk=face_chunk
     )
 
     masks_rep = jnp.tile(masks, (k, 1, 1))
@@ -203,7 +203,6 @@ def _per_guess_losses(
 
     pred_proj2d = cam_utils.project_points(verts_rep, cams_flat)
     edt = L.edt_loss(mask_pred, jnp.tile(edts, (k, 1, 1)), reduce=False).reshape(k, BT)
-    vis_verts = ras.visible_vertices(pix_to_face, faces, t.num_verts)
     bdt = L.boundaries_loss(
         pred_proj2d, jnp.tile(boundaries, (k, 1, 1)), vis_verts, reduce=False
     ).reshape(k, BT)

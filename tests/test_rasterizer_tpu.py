@@ -31,7 +31,7 @@ class TestForwardParity:
     def test_soft_mask_matches_reference(self, scene):
         proj, faces = scene
         mask_ref, p2f_ref = ref.soft_silhouette(proj, faces, IMG, face_chunk=80)
-        mask_tpu, p2f_tpu = tpu.soft_silhouette_tpu(
+        mask_tpu, p2f_tpu, vis_tpu = tpu.soft_silhouette_tpu(
             proj, faces, IMG, 320, interpret=INTERP
         )
         np.testing.assert_allclose(
@@ -129,7 +129,7 @@ class TestBackwardParity:
             return (m * w).sum()
 
         def loss_tpu(p):
-            m, _ = tpu.soft_silhouette_tpu(
+            m, _, _ = tpu.soft_silhouette_tpu(
                 p, faces, IMG, 320, sigma, blur, interpret=INTERP
             )
             return (m * w).sum()
@@ -163,7 +163,7 @@ class TestBackwardParity:
             return (m * w).sum()
 
         def loss_tpu(p):
-            m, _ = tpu.soft_silhouette_tpu(
+            m, _, _ = tpu.soft_silhouette_tpu(
                 p, faces, 8, 20, sigma, blur, interpret=INTERP
             )
             return (m * w).sum()
