@@ -203,6 +203,8 @@ def rasterize(
     Returns:
       Fragments with leading batch axis, pixel axis flattened (B, H*W).
     """
+    if faces.shape[0] % face_chunk:
+        face_chunk = faces.shape[0]  # small meshes: single chunk
     fn = functools.partial(
         _rasterize_one,
         faces=faces,
