@@ -180,11 +180,12 @@ K_CHUNK = 64  # faces per grid step; face-table chunk lives in SMEM (4 KB)
 
 
 def _fwd_kernel(image_size, tile_h, tile_w, k_chunk, sigma, blur_radius, soft,
-                tab_ref, s_ref, slot_ref, b0_ref, b1_ref, z_ref):
+                count_ref, tab_ref, s_ref, slot_ref, b0_ref, b1_ref, z_ref):
     """Grid (B, T, NKC). tab_ref: (1, 1, 16, k_chunk) in SMEM (dynamic
     scalar indexing is only legal in scalar memory — Mosaic rejects dynamic
     lane offsets in VMEM). Output blocks are revisited across the NKC axis
-    and stay resident in VMEM; initialized at kc == 0."""
+    and stay resident in VMEM; initialized at kc == 0. Chunks with no
+    valid faces (count_ref == 0) are skipped entirely."""
     t = pl.program_id(1)
     kc = pl.program_id(2)
     px, py = _tile_pixels(t, image_size, tile_h, tile_w, jnp.float32)
@@ -198,38 +199,43 @@ def _fwd_kernel(image_size, tile_h, tile_w, k_chunk, sigma, blur_radius, soft,
         b1_ref[0, 0] = jnp.zeros(shape, jnp.float32)
         z_ref[0, 0] = jnp.full(shape, _BIG, jnp.float32)
 
-    def body(k, state):
-        S, slot, bb0, bb1, zbuf = state
-        c = [tab_ref[0, 0, i, k] for i in range(9)]
-        log1mp, z, b0, b1, in_r = _face_geometry(
-            c, px, py, sigma, blur_radius, soft
-        )
-        S = S + log1mp
-        zm = jnp.where(in_r, z, _BIG)
-        better = zm < zbuf
-        slot = jnp.where(better, kc * k_chunk + k, slot)
-        bb0 = jnp.where(better, b0, bb0)
-        bb1 = jnp.where(better, b1, bb1)
-        zbuf = jnp.where(better, zm, zbuf)
-        return S, slot, bb0, bb1, zbuf
+    @pl.when(count_ref[0, 0, 0, 0] > 0)
+    def _():
+        def body(k, state):
+            S, slot, bb0, bb1, zbuf = state
+            c = [tab_ref[0, 0, i, k] for i in range(9)]
+            log1mp, z, b0, b1, in_r = _face_geometry(
+                c, px, py, sigma, blur_radius, soft
+            )
+            S = S + log1mp
+            zm = jnp.where(in_r, z, _BIG)
+            better = zm < zbuf
+            slot = jnp.where(better, kc * k_chunk + k, slot)
+            bb0 = jnp.where(better, b0, bb0)
+            bb1 = jnp.where(better, b1, bb1)
+            zbuf = jnp.where(better, zm, zbuf)
+            return S, slot, bb0, bb1, zbuf
 
-    init = (s_ref[0, 0], slot_ref[0, 0], b0_ref[0, 0], b1_ref[0, 0], z_ref[0, 0])
-    S, slot, bb0, bb1, zbuf = jax.lax.fori_loop(0, k_chunk, body, init)
-    s_ref[0, 0] = S
-    slot_ref[0, 0] = slot
-    b0_ref[0, 0] = bb0
-    b1_ref[0, 0] = bb1
-    z_ref[0, 0] = zbuf
+        init = (s_ref[0, 0], slot_ref[0, 0], b0_ref[0, 0], b1_ref[0, 0],
+                z_ref[0, 0])
+        S, slot, bb0, bb1, zbuf = jax.lax.fori_loop(
+            0, count_ref[0, 0, 0, 0], body, init
+        )
+        s_ref[0, 0] = S
+        slot_ref[0, 0] = slot
+        b0_ref[0, 0] = bb0
+        b1_ref[0, 0] = bb1
+        z_ref[0, 0] = zbuf
 
 
 def _bwd_kernel(image_size, tile_h, tile_w, k_chunk, sigma, blur_radius,
-                tab_ref, a_ref, grad_ref):
+                count_ref, tab_ref, a_ref, grad_ref):
     """Accumulate d(loss)/d(face coords) per (tile, slot).
 
     Grid (B, T, NKC). a_ref: (1, 1, th, tw) = cot_mask * (-exp(S)).
     grad_ref out: (1, 1, k_chunk, 16) written once per grid step; rows are
     scattered into place with a one-hot outer product (no dynamic-sublane
-    stores, which Mosaic rejects).
+    stores, which Mosaic rejects). Empty chunks write zeros directly.
     """
     t = pl.program_id(1)
     px, py = _tile_pixels(t, image_size, tile_h, tile_w, jnp.float32)
@@ -250,8 +256,9 @@ def _bwd_kernel(image_size, tile_h, tile_w, k_chunk, sigma, blur_radius,
         )
         return G + jnp.where(row_ids == k, grow[None, :], 0.0)
 
-    G = jax.lax.fori_loop(0, k_chunk, body, jnp.zeros((k_chunk, 16), jnp.float32))
-    grad_ref[0, 0] = G
+    grad_ref[0, 0] = jax.lax.fori_loop(
+        0, count_ref[0, 0, 0, 0], body, jnp.zeros((k_chunk, 16), jnp.float32)
+    )
 
 
 class TPUFragments(NamedTuple):
@@ -279,6 +286,19 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _chunk_counts(idx: jax.Array, n_kc: int) -> jax.Array:
+    """(B, T, K) face ids -> (B, T*n_kc) int32 valid counts per chunk.
+
+    Valid entries are a prefix of each chunk: the top_k score orders all
+    valid faces before invalid ones across the whole K list.
+    """
+    B, T, K = idx.shape
+    v = (idx >= 0).reshape(B, T, n_kc, K // n_kc).sum(-1)
+    # shaped (B, T*n_kc, 1, 1) so the (1, 1, 1, 1) SMEM block spec satisfies
+    # the last-two-dims-equal rule
+    return v.reshape(B, T * n_kc, 1, 1).astype(jnp.int32)
+
+
 def _chunk_table(tab: jax.Array, n_kc: int) -> jax.Array:
     """(B, T, 16, K) -> (B, T*n_kc, 16, K_CHUNK): one full block per chunk
     (Pallas TPU block last dims must equal the array's or be 8/128-aligned)."""
@@ -303,6 +323,7 @@ def _run_fwd(verts, faces, image_size, K, sigma, blur_radius, soft, interpret):
         verts, faces, image_size, tile_h, tile_w, K, margin
     )
     tab = _chunk_table(tab, n_kc)  # (B, T*n_kc, 16, K_CHUNK)
+    counts = _chunk_counts(idx, n_kc)  # (B, T*n_kc)
     kern = functools.partial(
         _fwd_kernel, image_size, tile_h, tile_w, K_CHUNK, sigma, blur_radius, soft
     )
@@ -322,6 +343,11 @@ def _run_fwd(verts, faces, image_size, K, sigma, blur_radius, soft, interpret):
         grid=(B, n_t, n_kc),
         in_specs=[
             pl.BlockSpec(
+                (1, 1, 1, 1),
+                lambda b, t, kc, n_kc=n_kc: (b, t * n_kc + kc, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
                 (1, 1, 16, K_CHUNK),
                 lambda b, t, kc, n_kc=n_kc: (b, t * n_kc + kc, 0, 0),
                 memory_space=pltpu.SMEM,
@@ -330,8 +356,8 @@ def _run_fwd(verts, faces, image_size, K, sigma, blur_radius, soft, interpret):
         out_specs=[tile_spec] * 5,
         out_shape=out_shapes,
         interpret=interpret,
-    )(tab)
-    return (S, slot, b0, b1, zbuf), tab, idx, (tile_h, tile_w, n_t)
+    )(counts, tab)
+    return (S, slot, b0, b1, zbuf), (tab, counts), idx, (tile_h, tile_w, n_t)
 
 
 def _untile(x, image_size, tile_h, tile_w):
@@ -398,7 +424,7 @@ def visible_slots(slot: jax.Array, idx: jax.Array, faces, num_verts: int):
 
 
 def _soft_fwd(verts, faces, image_size, K, sigma, blur_radius, interpret):
-    (S, slot, b0, b1, zbuf), tab, idx, (th, tw, n_t) = _run_fwd(
+    (S, slot, b0, b1, zbuf), (tab, counts), idx, (th, tw, n_t) = _run_fwd(
         verts, faces, image_size, K, sigma, blur_radius, True, interpret
     )
     mask = 1.0 - jnp.exp(_untile(S, image_size, th, tw))
@@ -414,12 +440,12 @@ def _soft_fwd(verts, faces, image_size, K, sigma, blur_radius, interpret):
     vis_verts = visible_slots(slot, idx, faces, verts.shape[1])
     # the face tables are cheap to keep (few MB) and expensive to rebuild
     # (top_k binning) — save them for the backward pass
-    residual = (verts, faces, S, idx, tab)
+    residual = (verts, faces, S, idx, tab, counts)
     return (mask, p2f, vis_verts), residual
 
 
 def _soft_bwd(image_size, K, sigma, blur_radius, interpret, residual, cot):
-    verts, faces, S, idx2, tab = residual
+    verts, faces, S, idx2, tab, counts = residual
     cot_mask = cot[0]  # p2f / vis_verts carry no gradient
     B = verts.shape[0]
     K = _round_up(min(K, faces.shape[0]), K_CHUNK)
@@ -442,6 +468,11 @@ def _soft_bwd(image_size, K, sigma, blur_radius, interpret, residual, cot):
         grid=(B, n_t, n_kc),
         in_specs=[
             pl.BlockSpec(
+                (1, 1, 1, 1),
+                lambda b, t, kc, n_kc=n_kc: (b, t * n_kc + kc, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
                 (1, 1, 16, K_CHUNK),
                 lambda b, t, kc, n_kc=n_kc: (b, t * n_kc + kc, 0, 0),
                 memory_space=pltpu.SMEM,
@@ -453,7 +484,7 @@ def _soft_bwd(image_size, K, sigma, blur_radius, interpret, residual, cot):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_t, K, 16), jnp.float32),
         interpret=interpret,
-    )(tab, A)
+    )(counts, tab, A)
 
     # scatter per-slot gradients back to faces then vertices
     F = faces.shape[0]
@@ -492,7 +523,7 @@ def hard_rasterize_tpu(
 ) -> TPUFragments:
     """Hard (coverage-only) rasterization; no gradient to verts."""
     verts = jax.lax.stop_gradient(verts)
-    (S, slot, b0, b1, zbuf), tab, idx, (th, tw, n_t) = _run_fwd(
+    (S, slot, b0, b1, zbuf), _, idx, (th, tw, n_t) = _run_fwd(
         verts, faces, image_size, K, SIGMA, 0.0, False, interpret
     )
     B = verts.shape[0]
