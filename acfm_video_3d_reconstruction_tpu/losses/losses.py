@@ -258,13 +258,13 @@ def optical_flow_loss(
     proj = proj3[..., :2]  # (BT, V, 2) in [-1, 1]
 
     if pix_to_face is None:
-        frags = ras.hard_rasterize(
-            jax.lax.stop_gradient(proj3), faces, image_size, face_chunk=face_chunk
-        )
-        p2f = frags.pix_to_face
+        vis = ras.hard_visibility(
+            jax.lax.stop_gradient(proj3), faces, image_size, V,
+            face_chunk=face_chunk,
+        ).reshape(B, T, V)
     else:
         p2f = pix_to_face.reshape(bt, -1)
-    vis = ras.visible_vertices(p2f, faces, V).reshape(B, T, V)
+        vis = ras.visible_vertices(p2f, faces, V).reshape(B, T, V)
 
     flows_flat = flows.reshape(bt, H, W, 2)
     sampled = grid_sample(

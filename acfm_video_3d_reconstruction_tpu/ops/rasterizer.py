@@ -371,6 +371,30 @@ def render_texture(
     )
 
 
+def hard_visibility(
+    verts: jax.Array,
+    faces: jax.Array,
+    image_size: int,
+    num_verts: int,
+    *,
+    face_chunk: int = 128,
+    impl: str = "auto",
+) -> jax.Array:
+    """Per-vertex visibility from a hard z-buffer (OF_NeuralRenderer use).
+
+    verts: (B, V, 3) projected. Returns (B, V) float 0/1. Dispatches to the
+    binned Pallas kernel + slot-based visibility on TPU.
+    """
+    verts = jax.lax.stop_gradient(verts)
+    if impl == "tpu" or (impl == "auto" and _use_tpu_kernel(image_size)):
+        from . import rasterizer_tpu
+
+        out = rasterizer_tpu.hard_rasterize_tpu(verts, faces, image_size)
+        return rasterizer_tpu.visible_slots(out.slot_t, out.idx, faces, num_verts)
+    frags = hard_rasterize(verts, faces, image_size, face_chunk=face_chunk)
+    return visible_vertices(frags.pix_to_face, faces, num_verts)
+
+
 def visible_vertices(
     pix_to_face: jax.Array, faces: jax.Array, num_verts: int
 ) -> jax.Array:

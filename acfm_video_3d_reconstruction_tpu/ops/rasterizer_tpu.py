@@ -570,24 +570,33 @@ def sample_atlas_binned(atlas: jax.Array, frags: TPUFragments, image_size: int):
 
     slot_flat = slot.reshape(B, T, P)
     covered = slot_flat >= 0
-    slothot = (
-        (slot_flat[..., None] == jnp.arange(K, dtype=jnp.int32)) & covered[..., None]
-    ).astype(jnp.bfloat16)  # (B, T, P, K)
-    tmp = jnp.einsum(
-        "btpk,btkm->btpm", slothot, atlas_slots.astype(jnp.bfloat16)
-    )  # (B, T, P, ncell*C)
-
     i0 = jnp.clip((b0.reshape(B, T, P) * Ts).astype(jnp.int32), 0, Ts - 1)
     i1 = jnp.clip((b1.reshape(B, T, P) * Ts).astype(jnp.int32), 0, Ts - 1)
     cell = i0 * Ts + i1  # (B, T, P)
-    cellhot = (
-        cell[..., None] == jnp.arange(ncell, dtype=jnp.int32)
-    ).astype(jnp.bfloat16)  # (B, T, P, ncell)
-    rgb = jnp.einsum(
-        "btpnc,btpn->btpc",
-        tmp.reshape(B, T, P, ncell, C),
-        cellhot,
-    ).astype(jnp.float32)
+
+    # tile-sequential matmuls: the (P, K) and (P, ncell) one-hots only ever
+    # exist for one tile at a time, bounding memory to O(B*P*K) instead of
+    # O(B*T*P*K) (the multiplex trainer renders G*B*T views at once).
+    def per_tile(args):
+        slots_t, atlas_t, cell_t = args  # (B, P), (B, K, m), (B, P)
+        hot = (
+            (slots_t[..., None] == jnp.arange(K, dtype=jnp.int32))
+            & (slots_t >= 0)[..., None]
+        ).astype(jnp.bfloat16)
+        tmp = jnp.einsum("bpk,bkm->bpm", hot, atlas_t.astype(jnp.bfloat16))
+        chot = (
+            cell_t[..., None] == jnp.arange(ncell, dtype=jnp.int32)
+        ).astype(jnp.bfloat16)
+        return jnp.einsum(
+            "bpnc,bpn->bpc", tmp.reshape(-1, P, ncell, C), chot
+        )
+
+    rgb = jax.lax.map(
+        per_tile,
+        (jnp.swapaxes(slot_flat, 0, 1), jnp.swapaxes(atlas_slots, 0, 1),
+         jnp.swapaxes(cell, 0, 1)),
+    )  # (T, B, P, C)
+    rgb = jnp.swapaxes(rgb, 0, 1).astype(jnp.float32)
     rgb = jnp.where(covered[..., None], rgb, 0.0)
 
     rgb = rgb.reshape(B, T, th, tw, C)

@@ -357,9 +357,15 @@ def forward(
             method=model.textures,
         )
 
-    loss_matrix, per_guess_metrics, extras = _per_guess_losses(
-        mods, cam_pred, pred_v, atlas, lpips_params, batch, face_chunk
+    # remat: the per-guess render+loss block holds G*B*T rendered views of
+    # activations — recompute them in the backward pass instead of saving
+    per_guess = jax.checkpoint(
+        lambda cp, pv, at: _per_guess_losses(
+            mods, cp, pv, at, lpips_params, batch, face_chunk
+        ),
+        prevent_cse=False,
     )
+    loss_matrix, per_guess_metrics, extras = per_guess(cam_pred, pred_v, atlas)
 
     if w.kp > 0:
         vert2kp = model.apply({"params": params}, method=model.get_vert2kp)

@@ -102,6 +102,8 @@ class TestMultiframeTraining:
         # probabilities were written for these frames
         p = np.asarray(state.multiplex.probs[:4])
         np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-4)
+        # soft-min wrote genuine (non-uniform) weights, not the init fill
+        assert p.std() > 1e-4, p
 
     def test_main_step_all_guesses(self, setup):
         mods, tx_full, tx_warm, state, ds = setup
