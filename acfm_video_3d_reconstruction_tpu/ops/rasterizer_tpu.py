@@ -574,9 +574,6 @@ def sample_atlas_binned(atlas: jax.Array, frags: TPUFragments, image_size: int):
     i1 = jnp.clip((b1.reshape(B, T, P) * Ts).astype(jnp.int32), 0, Ts - 1)
     cell = i0 * Ts + i1  # (B, T, P)
 
-    # tile-sequential matmuls: the (P, K) and (P, ncell) one-hots only ever
-    # exist for one tile at a time, bounding memory to O(B*P*K) instead of
-    # O(B*T*P*K) (the multiplex trainer renders G*B*T views at once).
     def per_tile(args):
         slots_t, atlas_t, cell_t = args  # (B, P), (B, K, m), (B, P)
         hot = (
@@ -591,12 +588,22 @@ def sample_atlas_binned(atlas: jax.Array, frags: TPUFragments, image_size: int):
             "bpnc,bpn->bpc", tmp.reshape(-1, P, ncell, C), chot
         )
 
-    rgb = jax.lax.map(
-        per_tile,
-        (jnp.swapaxes(slot_flat, 0, 1), jnp.swapaxes(atlas_slots, 0, 1),
-         jnp.swapaxes(cell, 0, 1)),
-    )  # (T, B, P, C)
-    rgb = jnp.swapaxes(rgb, 0, 1).astype(jnp.float32)
+    if B <= 16:
+        # vectorized over tiles: fastest, O(B*T*P*K) one-hot transient
+        rgb = per_tile(
+            (slot_flat.reshape(B * T, P), atlas_slots.reshape(B * T, K, -1),
+             cell.reshape(B * T, P))
+        ).reshape(B, T, P, C)
+    else:
+        # tile-sequential matmuls bound memory to O(B*P*K): the multiplex
+        # trainer renders G*B*T views at once (64+ at G=8).
+        rgb = jax.lax.map(
+            per_tile,
+            (jnp.swapaxes(slot_flat, 0, 1), jnp.swapaxes(atlas_slots, 0, 1),
+             jnp.swapaxes(cell, 0, 1)),
+        )  # (T, B, P, C)
+        rgb = jnp.swapaxes(rgb, 0, 1)
+    rgb = rgb.astype(jnp.float32)
     rgb = jnp.where(covered[..., None], rgb, 0.0)
 
     rgb = rgb.reshape(B, T, th, tw, C)
