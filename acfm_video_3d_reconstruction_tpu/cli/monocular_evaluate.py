@@ -26,7 +26,9 @@ def main(_):
     mods, tx, state = monocular.build(cfg, template, jax.random.PRNGKey(0))
     label = FLAGS.num_train_epoch if FLAGS.num_train_epoch > 0 else "latest"
     if checkpoints.exists(FLAGS.checkpoint_dir, FLAGS.name, label):
-        state = checkpoints.restore(FLAGS.checkpoint_dir, FLAGS.name, label, state)
+        state = checkpoints.restore(
+            FLAGS.checkpoint_dir, FLAGS.name, label, state, strict=False
+        )
     else:
         print(f"warning: checkpoint {label} not found; evaluating random init")
 

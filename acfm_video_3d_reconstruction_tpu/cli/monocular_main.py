@@ -41,6 +41,12 @@ flags.DEFINE_string("split", "train", "data split")
 flags.DEFINE_float("kp_loss_wt", 30.0, "keypoint loss weight")
 flags.DEFINE_float("mask_loss_wt", 1.0, "mask loss weight")
 flags.DEFINE_integer("log_every", 20, "steps between scalar logs")
+flags.DEFINE_integer("save_latest_freq", 0, "mid-epoch latest saves (steps)")
+flags.DEFINE_integer("display_freq", 0, "visualization panels every N steps")
+# pretrained weights (reference: ImageNet resnet18 encoder
+# monocular/nnutils/mesh_net.py:87-95, LPIPS AlexNet loss_utils.py:361-363)
+flags.DEFINE_string("pretrained_resnet18", "", "torchvision resnet18 .pth")
+flags.DEFINE_string("lpips_alexnet", "", "torchvision alexnet .pth")
 
 
 def build_cfg() -> cfg_lib.Config:
@@ -66,10 +72,39 @@ def build_cfg() -> cfg_lib.Config:
             num_epochs=FLAGS.num_epochs,
             num_pretrain_epochs=FLAGS.num_pretrain_epochs,
             use_gtpose=FLAGS.use_gtpose,
+            save_latest_freq=FLAGS.save_latest_freq,
+            display_freq=FLAGS.display_freq,
             checkpoint_dir=FLAGS.checkpoint_dir,
             name=FLAGS.name,
         ),
     )
+
+
+def make_pretrained_loaders():
+    """(load_pretrained, load_lpips) per the CLI flags, or Nones."""
+    load_pretrained = load_lpips = None
+    if FLAGS.pretrained_resnet18:
+        from ..models import torch_import
+
+        def load_pretrained(params, batch_stats):  # noqa: F811
+            params, batch_stats, ok = torch_import.maybe_load_pretrained_encoder(
+                params, batch_stats, FLAGS.pretrained_resnet18
+            )
+            if not ok:
+                raise FileNotFoundError(FLAGS.pretrained_resnet18)
+            return params, batch_stats
+
+    if FLAGS.lpips_alexnet:
+        from ..models import torch_import
+
+        def load_lpips(lpips_params):  # noqa: F811
+            sd = torch_import.load_torch_state_dict(FLAGS.lpips_alexnet)
+            feats = torch_import.convert_alexnet_features(sd)
+            return torch_import.jax_tree_merge(
+                dict(lpips_params), {"alex": feats}
+            )
+
+    return load_pretrained, load_lpips
 
 
 def build_cub_template(cfg: cfg_lib.Config):
@@ -110,7 +145,11 @@ def main(_):
         img_size=FLAGS.img_size,
     )
     loader = DataLoader(dataset, FLAGS.batch_size, shuffle=True)
-    driver.run_monocular_training(cfg, template, loader, log_every=FLAGS.log_every)
+    load_pretrained, load_lpips = make_pretrained_loaders()
+    driver.run_monocular_training(
+        cfg, template, loader, log_every=FLAGS.log_every,
+        load_pretrained=load_pretrained, load_lpips=load_lpips,
+    )
 
 
 if __name__ == "__main__":

@@ -18,7 +18,13 @@ from ..eval.predictor import TTOConfig, make_tto_step_fn
 from ..geometry import camera as cam_utils
 from ..ops import rasterizer as ras
 from ..train import checkpoints, multiframe as mf, monocular
-from .multiframe_main import FLAGS, build_cfg, build_mf_template
+from .multiframe_main import (
+    FLAGS,
+    build_cfg,
+    build_mf_template,
+    make_flow_fn_from_opts,
+    opts_from_flags,
+)
 
 flags.DEFINE_integer("num_train_epoch", 0, "checkpoint epoch")
 flags.DEFINE_boolean("optimize", False, "test-time optimization")
@@ -32,7 +38,8 @@ def main(_):
     import jax
     import jax.numpy as jnp
 
-    cfg = build_cfg()
+    opts = opts_from_flags()
+    cfg = build_cfg(opts)
     template = build_mf_template(cfg)
 
     video_ds = tig.VideoPklDataset(
@@ -55,7 +62,9 @@ def main(_):
     )
     label = FLAGS.num_train_epoch if FLAGS.num_train_epoch > 0 else "latest"
     if checkpoints.exists(FLAGS.checkpoint_dir, FLAGS.name, label):
-        state = checkpoints.restore(FLAGS.checkpoint_dir, FLAGS.name, label, state)
+        state = checkpoints.restore(
+            FLAGS.checkpoint_dir, FLAGS.name, label, state, strict=False
+        )
     else:
         print(f"warning: checkpoint {label} not found; evaluating random init")
 
@@ -63,6 +72,7 @@ def main(_):
     img_size = cfg.model.img_size
     faces = jnp.asarray(template.faces)
     tto_fn = None
+    flow_fn = None
     if FLAGS.optimize:
         tto_fn = make_tto_step_fn(
             mods,
@@ -73,6 +83,10 @@ def main(_):
             ),
             num_frames=FLAGS.num_frames,
         )
+        if FLAGS.num_frames > 1 and FLAGS.of_loss_wt > 0:
+            # TTO's optical-flow term: frozen MaskFlownet on each batch
+            # (reference multiframe/nnutils/predictor.py:195-225)
+            flow_fn = make_flow_fn_from_opts(opts, img_size)
 
     @jax.jit
     def forward_batch(state, imgs):
@@ -104,6 +118,8 @@ def main(_):
             )
         if tto_fn is not None:
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            if flow_fn is not None:
+                jb = flow_fn(jb)
             pred_v, cam_pred, _ = tto_fn(mean_shape, lbs, out["delta_v"], cam_pred, jb)
 
         proj_v = cam_utils.orthographic_proj_withz(pred_v, cam_pred, offset_z=0.0)

@@ -83,6 +83,9 @@ class MultiplexConfig:
     cyc_euler_range: float = 60.0
     optimize_deform: bool = False
     optimize_deform_lr: float = 100.0
+    # per-hypothesis pi/4 rotation-bias chain spreading az-el hypotheses in
+    # rotation space (reference mesh_net.py:363-370)
+    az_el_quat_bias: bool = True
     drop_hypothesis: bool = False
     # (epoch_threshold, num_guesses) pairs, evaluated in order
     drop_schedule: Tuple[Tuple[int, int], ...] = ((30, 8), (100, 4), (10**9, 4))
@@ -100,9 +103,21 @@ class TrainConfig:
     texture_warmup: bool = False
     num_reps: int = 20             # pose-warmup epochs
     tex_num_reps: int = 20
-    warmup_lr: float = 1e-1        # Adam lr on camera embeddings in warmup
+    warmup_lr: float = 1e-2        # Adam lr on camera embeddings in warmup
+    #                                (reference train_utils.py:187)
     use_gtpose: bool = True
+    # MultiStepLR([5,150], gamma=0.1) parity (reference train_utils.py:185
+    # constructs it; the shipped loop never steps it, so default off)
+    multistep_lr: bool = False
+    lr_milestones: Tuple[int, ...] = (5, 150)
+    lr_gamma: float = 0.1
+    # separate Adam for the camera predictor (reference train_utils.py:181)
+    separate_camera_opt: bool = False
+    camera_learning_rate: float = 1e-4
     save_epoch_freq: int = 50
+    save_latest_freq: int = 0      # mid-epoch 'latest' saves every N steps
+    #                                (reference train_utils.py:275-280); 0 = off
+    display_freq: int = 0          # visualization panels every N steps; 0 = off
     checkpoint_dir: str = "cachedir/snapshots"
     name: str = "exp_name"
     seed: int = 0

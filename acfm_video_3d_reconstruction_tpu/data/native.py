@@ -69,17 +69,29 @@ def compute_dt_barrier(mask: np.ndarray, k: float = 50.0) -> np.ndarray:
 
 
 def preprocess_masks(
-    masks: np.ndarray, max_pts: int = 1000, barrier_k: float = 50.0
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Batched edt/bdt/boundaries (B, H, W) -> ((B,H,W), (B,H,W), (B,N,3))."""
+    masks: np.ndarray,
+    max_pts: int = 1000,
+    barrier_k: float = 50.0,
+    with_barrier: bool = False,
+):
+    """Batched edt/boundaries (B, H, W) -> ((B,H,W), (B,N,3)).
+
+    with_barrier=True additionally returns the sigmoid barrier DT as a
+    third array (off by default: the training losses consume only the raw
+    DT, matching the reference's actual use — monocular/main.py:184-187).
+    """
     lib = _load()
     m = np.ascontiguousarray((np.asarray(masks) > 0.5).astype(np.uint8))
     b, h, w = m.shape
     edt = np.empty((b, h, w), np.float32)
-    bdt = np.empty((b, h, w), np.float32)
+    bdt = np.empty((b, h, w), np.float32) if with_barrier else None
     bounds = np.empty((b, max_pts, 3), np.float32)
     lib.acfm_preprocess_masks(
         m.ctypes.data, b, h, w, ctypes.c_float(barrier_k), max_pts,
-        edt.ctypes.data, bdt.ctypes.data, bounds.ctypes.data,
+        edt.ctypes.data,
+        bdt.ctypes.data if with_barrier else None,
+        bounds.ctypes.data,
     )
-    return edt, bdt, bounds
+    if with_barrier:
+        return edt, bdt, bounds
+    return edt, bounds

@@ -64,6 +64,56 @@ class _PlaceholderSfm:
     rot = np.eye(3)
 
 
+class PascalVideoDataset:
+    """PASCAL/ImageNet stills as 2-frame video-schema samples for the
+    expand-pascal mixing path.
+
+    Parity target: reference base2.py BaseDataset_v2.__getitem__ (:584-593)
+    + forward_img (:475-516): each still becomes a duplicated 2-frame
+    'video' with raw-pixel kps, placeholder sfm pose and zero bboxes (the
+    downstream MultiFrameDataset recomputes tight mask bboxes). Feed it to
+    ConcatDataset before explode_to_frames (multiframe/main.py:237-242).
+    """
+
+    def __init__(self, img_dir: str, anno_path: str, num_kps: int = 16):
+        import cv2  # lazy; only needed with real data
+
+        self._imread = lambda p: cv2.cvtColor(
+            cv2.imread(p, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB
+        )
+        self.img_dir = img_dir
+        if not osp.exists(anno_path):
+            raise FileNotFoundError(anno_path)
+        self.anno = np.atleast_1d(
+            sio.loadmat(anno_path, struct_as_record=False, squeeze_me=True)[
+                "images"
+            ]
+        )
+        self.num_kps = num_kps
+
+    def __len__(self):
+        return len(self.anno)
+
+    def __getitem__(self, i: int) -> dict:
+        data = self.anno[i]
+        img = self._imread(osp.join(self.img_dir, str(data.rel_path))) / 255.0
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=2)
+        mask = np.asarray(data.mask, np.float32)
+        kp = np.asarray(data.parts, np.float64).T.copy()  # (K, 3)
+        vis = kp[:, 2] > 0
+        kp[vis, :2] -= 1  # 0-indexing (base2.py:497-499)
+        kp = np.nan_to_num(kp, nan=0.0)
+        pose = np.asarray([1.0, 0, 0, 1, 0, 0, 0], np.float32)
+        return {
+            "video": np.stack([img, img]).astype(np.float32),
+            "segmentations": np.stack([mask, mask]),
+            "landmarks": np.stack([kp, kp]),
+            "sfm_poses": np.stack([pose, pose]),
+            "bboxes": np.zeros((2, 4), np.float32),
+        }
+
+
 def as_clip(sample: dict, num_frames: int) -> dict:
     """Expand a still-image sample to a clip dict for the multiframe
     trainer (repeated frames, zero flow, mirror/transform defaults)."""

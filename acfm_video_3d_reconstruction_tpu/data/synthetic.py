@@ -121,17 +121,19 @@ class SyntheticDataset:
     def _flows(self, frame_idx: np.ndarray) -> np.ndarray:
         """Constant GT flow per clip from known camera/deform motion.
 
-        Layout matches the trainer contract: frame t>=1 holds the pixelwise
-        flow field such that proj_t - proj_{t+1} is compared against it; we
-        provide the mean vertex motion as a constant field inside the mask.
+        Layout matches flow.infer.clip_flows: slot t holds flow(t -> t+1),
+        last slot zero. The trainer shifts it so the loss compares
+        proj_t - proj_{t+1} (sampled at frame t+1) against it; we provide
+        the mean vertex motion in pixels as a constant field inside the
+        frame-(t+1) mask.
         """
         cfg = self.cfg
         B, T = frame_idx.shape
         H = cfg.image_size
         flows = np.zeros((B, T, H, H, 2), np.float32)
         for b in range(B):
-            for t in range(1, T):
-                i0, i1 = frame_idx[b, t - 1], frame_idx[b, t]
+            for t in range(T - 1):
+                i0, i1 = frame_idx[b, t], frame_idx[b, t + 1]
                 k0, k1 = self.kps[i0, :, :2], self.kps[i1, :, :2]
                 motion_px = (k0 - k1).mean(0) * H / 2.0
                 flows[b, t, :, :, :] = motion_px[None, None]

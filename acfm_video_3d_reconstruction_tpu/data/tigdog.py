@@ -49,8 +49,14 @@ class VideoPklDataset:
     Each pkl holds {video (T,H,W,3), segmentations (T,H,W),
     bboxes (T,4), landmarks (T,K,3), sfm_poses (T,7)}; YTVIS/COCO-style
     data may omit landmarks/sfm_poses (placeholders are synthesized:
-    ytvis_final.py:145-150).
+    ytvis_final.py:145-150) and stores bboxes in xywh format
+    (ytvis_final.py:125-127 converts and squares them).
+
+    split='all' keeps every video (the reference's expand-ytvis/coco
+    mixing uses split='all': multiframe/main.py:223-228).
     """
+
+    bbox_format = "xyxy"
 
     def __init__(self, root_dir: str, category: str, split: str = "train",
                  num_kps: int = 19):
@@ -69,7 +75,17 @@ class VideoPklDataset:
     def __getitem__(self, i: int) -> dict:
         with open(self.paths[i], "rb") as f:
             sample = pickle.load(f)
+        video = np.asarray(sample["video"])
+        if video.dtype == np.uint8 or video.max() > 1.5:
+            sample["video"] = video.astype(np.float32) / 255.0
         T = sample["video"].shape[0]
+        if self.bbox_format == "xywh":
+            bb = np.asarray(sample["bboxes"], np.float64).copy()
+            bb[:, 2] += bb[:, 0]
+            bb[:, 3] += bb[:, 1]
+            sample["bboxes"] = np.stack(
+                [image_utils.square_bbox(b) for b in bb]
+            )
         if "landmarks" not in sample or sample.get("landmarks") is None:
             sample["landmarks"] = np.zeros((T, self.num_kps, 3), np.float32)
         if "sfm_poses" not in sample or sample.get("sfm_poses") is None:
@@ -78,6 +94,40 @@ class VideoPklDataset:
             poses[:, 3] = 1.0
             sample["sfm_poses"] = poses
         return sample
+
+
+class YTVISPklDataset(VideoPklDataset):
+    """YouTube-VIS clip pkls: mask+bbox only, xywh boxes, uint8 video
+    (reference multiframe/data/ytvis_final.py:73-219)."""
+
+    bbox_format = "xywh"
+
+    def __init__(self, root_dir: str, category: str, split: str = "all",
+                 num_kps: int = 19):
+        super().__init__(root_dir, category, split=split, num_kps=num_kps)
+
+
+class COCOPklDataset(YTVISPklDataset):
+    """COCO still images as length-1 clips with the YTVIS pkl schema
+    (reference multiframe/data/coco_final.py — byte-identical pipeline to
+    ytvis_final save for the directory)."""
+
+
+class ConcatDataset:
+    """Concatenation of video-level datasets (torch ConcatDataset
+    equivalent; reference multiframe/main.py:229 mixes TigDog+YTVIS+COCO
+    before the cache-exploding step)."""
+
+    def __init__(self, datasets):
+        self.datasets = [d for d in datasets if d is not None]
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def __getitem__(self, i: int) -> dict:
+        d = int(np.searchsorted(self._offsets, i, side="right") - 1)
+        return self.datasets[d][i - int(self._offsets[d])]
 
 
 def explode_to_frames(
@@ -136,6 +186,7 @@ class MultiFrameDataset:
         remove_neck_kp: bool = True,
         padding_frac: float = 0.05,
         tight_bboxes: bool = False,
+        v2_crop: bool = False,
         offset: int = 3,
         sequential: bool = False,
         seed: int = 0,
@@ -151,6 +202,7 @@ class MultiFrameDataset:
         self.remove_neck_kp = remove_neck_kp
         self.padding_frac = padding_frac
         self.tight_bboxes = tight_bboxes
+        self.v2_crop = v2_crop
         self.offset = offset
         self.sequential = sequential
         self.kp_perm = kp_perm_for(category)
@@ -216,6 +268,14 @@ class MultiFrameDataset:
             vis = kp[:, 2] > 0
             kp[vis, 0] -= bbox[0]
             kp[vis, 1] -= bbox[1]
+            if self.v2_crop:
+                # v2 crop recomputes visibility from the crop bounds
+                # (reference tigdog_mf_of.py:251-261 / crop_landmarks)
+                inb = (
+                    (kp[:, 0] >= 0) & (kp[:, 1] >= 0)
+                    & (kp[:, 0] < img.shape[1]) & (kp[:, 1] < img.shape[0])
+                )
+                kp[:, 2] = (vis & inb).astype(kp.dtype)
             pose[1] -= bbox[0]
             pose[2] -= bbox[1]
             h, w = img.shape[:2]
@@ -241,7 +301,9 @@ class MultiFrameDataset:
             masks = masks[:, :, ::-1].copy()
             new_x = imgs.shape[2] - kps[:, :, 0] - 1
             kps = np.concatenate([new_x[:, :, None], kps[:, :, 1:]], axis=-1)
-            kps = kps[:, self.kp_perm]
+            if kps.shape[1] == len(self.kp_perm):
+                kps = kps[:, self.kp_perm]
+            # else: non-standard kp count (placeholder annos) — identity perm
             for pose in poses:
                 R = quaternion_matrix_np(pose[3:])
                 D = np.diag([-1.0, 1.0, 1.0])

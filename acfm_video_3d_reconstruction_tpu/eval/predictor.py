@@ -134,11 +134,13 @@ def make_tto_step_fn(
                 tto.edt_wt * edt + tto.bdt_wt * bdt
             )
             if tto.of_wt > 0 and "optical_flows" in batch:
+                from ..flow.infer import shift_flows_for_loss
+
                 B = BT // num_frames
                 verts_seq = pred_v.reshape(B, num_frames, t.num_verts, 3)
                 flows = batch["optical_flows"]
                 masks_of = masks.reshape(B, num_frames, img_size, img_size)
-                flows_f = jnp.flip(flows, axis=1) * masks_of[..., None]
+                flows_f = shift_flows_for_loss(flows) * masks_of[..., None]
                 of_loss, *_ = L.optical_flow_loss(
                     verts_seq, cam, flows_f, faces, img_size,
                     face_chunk=face_chunk,

@@ -1,13 +1,34 @@
-"""Frozen optical-flow inference for the multiframe trainer.
+"""Frozen optical-flow inference for the multiframe trainer/evaluator.
 
 Parity target: reference multiframe/main.py:385-411 (set_input's no-grad
-MaskFlownet pass): resize frame pair to 384x768, centralize (subtract the
-pair's mean RGB), pad to /64, run the net, Upsample(pred[-1], 4), resize
-back to the training resolution. Returns (B, T, H, W, 2) with the flow in
-frame 0's slot and odd frames zeroed (main.py:409-411).
+MaskFlownet pass) and multiframe/nnutils/predictor.py:195-225 (the
+benchmark predictor's identical pass): resize the frame pair to 384x768,
+centralize (subtract the pair's mean RGB), run the net, Upsample(pred[-1],
+4), resize back to the training resolution.
 
-Can also be used offline to precompute flows into the frame cache
-(the reference's commented-out intent at youtube_mf_of.py:161-200).
+Flow conventions (settled, tested in tests/test_flow_infer.py):
+  * The MaskFlownet torch port outputs flow channels (dy, dx): its warp()
+    flips the flow before adding it to an (x, y) grid
+    (reference MaskFlownet.py:226), and predict.py:71 flips the (u, v)
+    channel order of .flo ground truth to match the net.
+  * pred[-1] * 20 is in full-resolution (384x768) pixel units; the
+    triangle-kernel Upsample is purely spatial (no value rescale).
+  * DELIBERATE DEVIATIONS from the reference: (1) the reference's final
+    resize to the training resolution (main.py:408) does NOT rescale the
+    flow vectors, leaving dy in 384-height and dx in 768-width pixel
+    units against a loss that measures vertex motion in image pixels
+    (loss_utils.py:456); (2) the reference loss then pairs flow channel
+    0 (=dy) with displacement channel 0 (=dx) (loss_utils.py:469-471).
+    We rescale per-axis to output pixels and emit (dx, dy) so the
+    optical-flow loss compares like with like. This changes only the
+    fixed per-axis weighting of the loss, not its minimizer structure.
+
+Output layout: clip_flows returns (B, T, H, W, 2) with slot t holding
+flow(t -> t+1) and the last slot zero — a generalization of the
+reference's T=2 layout (flow01 at slot 0, zeros at slot 1,
+main.py:409-411) to arbitrary clip lengths. shift_flows_for_loss converts
+to the layout optical_flow_loss consumes (slot t+1 = flow(t -> t+1)),
+which for T=2 equals the reference's flip along T (main.py:648).
 """
 from __future__ import annotations
 
@@ -23,38 +44,88 @@ NET_H, NET_W = 384, 768
 
 
 def centralize(im0: jax.Array, im1: jax.Array):
+    """Subtract the pair's mean RGB (reference main.py:413-417)."""
     rgb_mean = jnp.concatenate([im0, im1], axis=1).mean(axis=(1, 2), keepdims=True)
     return im0 - rgb_mean, im1 - rgb_mean
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def predict_pair_flow(params, im0: jax.Array, im1: jax.Array, out_size: int):
-    """im0/im1: (B, H, W, 3) in [0,1] -> flow (B, out, out, 2) in pixels of
-    the output resolution."""
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def predict_pair_flow(
+    params,
+    im0: jax.Array,
+    im1: jax.Array,
+    out_size: int,
+    net_hw: tuple[int, int] = (NET_H, NET_W),
+):
+    """im0/im1: (B, H, W, 3) in [0,1] -> flow (B, out, out, 2).
+
+    Output channels are (dx, dy) in out_size-pixel units (see module
+    docstring for the settled conventions). net_hw must be /64-divisible;
+    the reference runs at (384, 768) — smaller values are for tests.
+    """
     B = im0.shape[0]
-    im0r = jax.image.resize(im0, (B, NET_H, NET_W, 3), "bilinear")
-    im1r = jax.image.resize(im1, (B, NET_H, NET_W, 3), "bilinear")
+    nh, nw = net_hw
+    im0r = jax.image.resize(im0, (B, nh, nw, 3), "bilinear")
+    im1r = jax.image.resize(im1, (B, nh, nw, 3), "bilinear")
     im0c, im1c = centralize(im0r, im1r)
     preds, _, _ = mfn.maskflownet(params, im0c, im1c)
-    up = ops.upsample2d_flow(preds[-1], 4)  # (B, 384, 768, 2), pixel units
-    flow = jax.image.resize(up, (B, out_size, out_size, 2), "bilinear")
-    # rescale flow vectors to output pixel units
-    scale = jnp.asarray(
-        [out_size / NET_W, out_size / NET_H], dtype=flow.dtype
-    )
-    # reference flow channel order follows the network conv output (c0, c1);
-    # main.py scales dims (2,3)=(H,W) of NCHW i.e. (c0 ~ H, c1 ~ W)? The
-    # final per-channel resize factors there are (H_out/H_net, W_out/W_net)
-    # applied to channels (0, 1) respectively.
-    scale = jnp.asarray([out_size / NET_H, out_size / NET_W], dtype=flow.dtype)
-    return flow * scale
+    up = ops.upsample2d_flow(preds[-1], 4)  # (B, nh, nw, 2) = (dy, dx)
+    dx = up[..., 1] * (out_size / nw)
+    dy = up[..., 0] * (out_size / nh)
+    flow = jnp.stack([dx, dy], axis=-1)
+    return jax.image.resize(flow, (B, out_size, out_size, 2), "bilinear")
 
 
-def clip_flows(params, imgs: jax.Array, image_size: int) -> jax.Array:
-    """Batch of clips (B, T, H, W, 3) -> (B, T, H, W, 2): flow(frame0 ->
-    frame1) stored at t=0, zeros at odd t (reference layout)."""
+def clip_flows(
+    params,
+    imgs: jax.Array,
+    image_size: int,
+    net_hw: tuple[int, int] = (NET_H, NET_W),
+) -> jax.Array:
+    """Batch of clips (B, T, H, W, 3) -> (B, T, H, W, 2).
+
+    Slot t holds flow(frame t -> frame t+1) for every consecutive pair;
+    the last slot is zero. All T-1 pairs run as one batched net call.
+    """
     B, T = imgs.shape[:2]
-    flow01 = predict_pair_flow(params, imgs[:, 0], imgs[:, 1], image_size)
-    flows = jnp.zeros((B, T) + flow01.shape[1:], flow01.dtype)
-    flows = flows.at[:, 0].set(flow01)
-    return flows
+    S = image_size
+    if T < 2:
+        return jnp.zeros((B, T, S, S, 2), imgs.dtype)
+    H, W = imgs.shape[2:4]
+    im0 = imgs[:, :-1].reshape(B * (T - 1), H, W, 3)
+    im1 = imgs[:, 1:].reshape(B * (T - 1), H, W, 3)
+    flow = predict_pair_flow(params, im0, im1, S, net_hw).reshape(
+        B, T - 1, S, S, 2
+    )
+    return jnp.concatenate([flow, jnp.zeros((B, 1, S, S, 2), flow.dtype)], axis=1)
+
+
+def shift_flows_for_loss(flows: jax.Array) -> jax.Array:
+    """clip_flows layout -> loss layout: slot t+1 = flow(t -> t+1), slot 0
+    zero. Equals the reference's flip along T for T=2 (main.py:648)."""
+    return jnp.concatenate([jnp.zeros_like(flows[:, :1]), flows[:, :-1]], axis=1)
+
+
+def load_flow_checkpoint(path: str) -> dict:
+    """Load a reference-format torch MaskFlownet checkpoint into a params
+    pytree (multiframe/main.py:203-214 loads the same file with
+    load_state_dict)."""
+    from ..models.torch_import import load_torch_state_dict
+
+    sd = load_torch_state_dict(path)
+    return mfn.convert_torch_state_dict(sd)
+
+
+def make_flow_fn(params, image_size: int, net_hw: tuple[int, int] = (NET_H, NET_W)):
+    """Batch preprocessor: attach batch['optical_flows'] from a frozen,
+    jitted MaskFlownet pass over every consecutive frame pair
+    (reference set_input, multiframe/main.py:385-411)."""
+
+    def flow_fn(batch: dict) -> dict:
+        batch = dict(batch)
+        batch["optical_flows"] = clip_flows(
+            params, batch["img"], image_size, net_hw
+        )
+        return batch
+
+    return flow_fn

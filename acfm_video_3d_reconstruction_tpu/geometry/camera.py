@@ -121,6 +121,36 @@ def az_el_to_quat(
     return quat.hamilton_product(q_cyc, quat.hamilton_product(q_el, q_az))
 
 
+def az_el_quat_biases(num_guesses: int) -> jax.Array:
+    """Per-hypothesis quaternion bias chain spreading az-el hypotheses.
+
+    Matches the chain the reference constructs at
+    multiframe/nnutils/mesh_net.py:363-370: bias_0 = (0, 1, 0, 0) (180
+    deg about +x), bias_g = q_(pi/4 about +y) ⊗ bias_{g-1}. Composed into
+    the decoded camera (decode_az_el_camera) so the G hypotheses start 45
+    deg apart in azimuth instead of only az_range * g/(G-1) apart.
+    Returns (G, 4).
+    """
+    import numpy as np
+
+    base_rot = np.array([np.cos(np.pi / 8), 0.0, np.sin(np.pi / 8), 0.0])
+    biases = [np.array([0.0, 1.0, 0.0, 0.0])]
+    for _ in range(1, num_guesses):
+        w1, x1, y1, z1 = base_rot
+        w2, x2, y2, z2 = biases[-1]
+        biases.append(
+            np.array(
+                [
+                    w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+                    w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                    w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                    w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+                ]
+            )
+        )
+    return jnp.asarray(np.stack(biases), jnp.float32)
+
+
 def decode_az_el_camera(
     raw: jax.Array,
     scale_lr_decay: float = 0.05,
@@ -128,8 +158,14 @@ def decode_az_el_camera(
     az_range_deg: float = 30.0,
     el_range_deg: float = 60.0,
     cyc_range_deg: float = 60.0,
+    quat_bias: jax.Array | None = None,
 ) -> jax.Array:
-    """Decode a raw 6-D camera embedding [s, tx, ty, az, el, cyc] -> 7-D cam."""
+    """Decode a raw 6-D camera embedding [s, tx, ty, az, el, cyc] -> 7-D cam.
+
+    quat_bias: optional (..., 4) per-hypothesis rotation bias (from
+    az_el_quat_biases, gathered per selected hypothesis) composed as
+    q = q_azel ⊗ bias so hypotheses start spread in rotation space.
+    """
     scale = scale_lr_decay * raw[..., 0:1] + scale_bias
     trans = raw[..., 1:3]
     q = az_el_to_quat(
@@ -138,4 +174,6 @@ def decode_az_el_camera(
         el_range_deg=el_range_deg,
         cyc_range_deg=cyc_range_deg,
     )
+    if quat_bias is not None:
+        q = quat.hamilton_product(q, jnp.broadcast_to(quat_bias, q.shape))
     return jnp.concatenate([scale, trans, q], axis=-1)

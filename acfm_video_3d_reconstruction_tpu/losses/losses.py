@@ -233,6 +233,7 @@ def optical_flow_loss(
     pix_to_face: jax.Array | None = None,
     reduce: bool = True,
     face_chunk: int = 128,
+    visible: jax.Array | None = None,
 ):
     """Temporal consistency between projected-vertex motion and sampled flow.
 
@@ -257,7 +258,12 @@ def optical_flow_loss(
     proj3 = cam_utils.orthographic_proj_withz(verts_flat, cams_seq)
     proj = proj3[..., :2]  # (BT, V, 2) in [-1, 1]
 
-    if pix_to_face is None:
+    if visible is not None:
+        # caller already holds per-vertex visibility (e.g. from the same
+        # soft_silhouette_vis pass that rendered the mask) — skip the extra
+        # rasterization the reference pays for (multiframe/main.py:676-690)
+        vis = visible.reshape(B, T, V)
+    elif pix_to_face is None:
         vis = ras.hard_visibility(
             jax.lax.stop_gradient(proj3), faces, image_size, V,
             face_chunk=face_chunk,

@@ -417,12 +417,9 @@ def visible_vertices(
     )(vis_f, fidx, covered)
     # scatter to vertices: vert visible if any visible face references it.
     V = num_verts
-    onehot = jnp.zeros((F * 3,), jnp.int32)  # placeholder to express shape
 
     def scatter_verts(vf):
         vv = jnp.zeros((V,), jnp.float32)
-        vv = vv.at[faces.reshape(-1)].max(jnp.repeat(vf, 3))
-        return vv
+        return vv.at[faces.reshape(-1)].max(jnp.repeat(vf, 3))
 
-    del onehot
     return jax.vmap(scatter_verts)(vis_f)

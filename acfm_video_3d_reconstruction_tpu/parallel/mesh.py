@@ -34,9 +34,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree: Any) -> Any:
-    """Device_put a batch pytree with the leading axis sharded."""
+    """Device_put a batch pytree with the leading axis sharded.
+
+    Arrays whose leading axis is not divisible by the mesh size (small
+    debug batches, scalar entries) replicate instead — XLA still runs them
+    correctly, just without the data-parallel split.
+    """
+    n = mesh.devices.size
     s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+    r = replicated(mesh)
+
+    def put(x):
+        shape = jnp.shape(x)
+        ok = len(shape) > 0 and shape[0] % n == 0
+        return jax.device_put(x, s if ok else r)
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

@@ -29,11 +29,65 @@ def save(checkpoint_dir: str, name: str, label: str | int, state: Any) -> str:
     return path
 
 
-def restore(checkpoint_dir: str, name: str, label: str | int, target: Any) -> Any:
-    """Restore into the structure of `target` (abstract or concrete state)."""
+def restore(
+    checkpoint_dir: str, name: str, label: str | int, target: Any,
+    strict: bool = True,
+) -> Any:
+    """Restore into the structure of `target` (abstract or concrete state).
+
+    strict=False tolerates structure drift the way the reference's
+    non-strict state-dict load does (train_utils.py:92-102): checkpoint
+    entries missing from `target` are dropped, entries absent from the
+    checkpoint keep the target's current value, and shape mismatches keep
+    the target's value with a warning. Used by the eval CLIs so a
+    train/eval flag mismatch (e.g. --texture) degrades instead of crashing.
+    """
     path = _path(checkpoint_dir, name, str(label))
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, target=jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target))
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
+    if strict:
+        return ckptr.restore(path, target=abstract)
+
+    # non-strict: read the raw tree, then graft leaves matched by key path
+    raw = ocp.PyTreeCheckpointer().restore(path)
+
+    def norm_path(kp) -> str:
+        # normalize GetAttrKey/DictKey/SequenceKey to plain '/'-joined names
+        # (the state is a flax dataclass, the raw restore is nested dicts)
+        toks = []
+        for k in kp:
+            for attr in ("name", "key", "idx"):
+                if hasattr(k, attr):
+                    toks.append(str(getattr(k, attr)))
+                    break
+            else:
+                toks.append(str(k))
+        return "/".join(toks)
+
+    raw_by_path = {
+        norm_path(kp): v
+        for kp, v in jax.tree_util.tree_flatten_with_path(raw)[0]
+    }
+    tgt_leaves, treedef = jax.tree_util.tree_flatten_with_path(target)
+    out = []
+    for kp, tgt_v in tgt_leaves:
+        key = norm_path(kp)
+        src_v = raw_by_path.get(key)
+        if src_v is None:
+            print(f"[restore non-strict] missing in checkpoint: {key}")
+            out.append(tgt_v)
+            continue
+        t_shape = getattr(tgt_v, "shape", None)
+        s_shape = getattr(src_v, "shape", None)
+        if t_shape is not None and t_shape != s_shape:
+            print(
+                f"[restore non-strict] shape mismatch at {key}: "
+                f"{s_shape} vs {t_shape}; keeping target"
+            )
+            out.append(tgt_v)
+            continue
+        out.append(src_v)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def exists(checkpoint_dir: str, name: str, label: str | int) -> bool:

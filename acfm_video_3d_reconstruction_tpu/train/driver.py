@@ -41,10 +41,27 @@ def run_monocular_training(
     num_epochs: Optional[int] = None,
     log_every: int = 20,
     face_chunk: int = 128,
+    load_pretrained=None,
+    load_lpips=None,
+    vis_fn=None,
 ):
-    """Monocular train loop (reference monocular train_utils.py:192-264)."""
+    """Monocular train loop (reference monocular train_utils.py:192-264).
+
+    load_pretrained / load_lpips: optional weight mergers applied before
+    replication (ImageNet resnet18 encoder, monocular/nnutils/
+    mesh_net.py:87-95; pretrained LPIPS AlexNet, loss_utils.py:361-363).
+    """
     mesh = pmesh.make_mesh()
     mods, tx, state = mono.build(cfg, template, jax.random.PRNGKey(cfg.train.seed))
+    if vis_fn is None and cfg.train.display_freq > 0:
+        from . import visualize
+
+        vis_fn = visualize.make_monocular_vis_fn(mods, face_chunk)
+    if load_pretrained is not None:
+        params, batch_stats = load_pretrained(state.params, state.batch_stats)
+        state = state.replace(params=params, batch_stats=batch_stats)
+    if load_lpips is not None:
+        state = state.replace(lpips_params=load_lpips(state.lpips_params))
     state = pmesh.replicate(mesh, state)
     step = mono.make_train_step(mods, tx, face_chunk=face_chunk)
     save_dir = _save_dir(cfg)
@@ -62,10 +79,24 @@ def run_monocular_training(
     n_epochs = num_epochs if num_epochs is not None else cfg.train.num_epochs
     for epoch in range(cfg.train.num_pretrain_epochs, n_epochs):
         for batch in loader:
-            state, metrics = step(state, to_device(mesh, batch))
+            db = to_device(mesh, batch)
+            state, metrics = step(state, db)
             total_steps += 1
             if total_steps % log_every == 0:
                 logger.log(epoch, total_steps, jax.device_get(metrics))
+            if (
+                cfg.train.save_latest_freq > 0
+                and total_steps % cfg.train.save_latest_freq == 0
+            ):
+                checkpoints.save(
+                    cfg.train.checkpoint_dir, cfg.train.name, "latest", state
+                )
+            if (
+                vis_fn is not None
+                and cfg.train.display_freq > 0
+                and total_steps % cfg.train.display_freq == 0
+            ):
+                vis_fn(save_dir, total_steps, state, db)
         if (epoch + 1) % cfg.train.save_epoch_freq == 0:
             checkpoints.save(cfg.train.checkpoint_dir, cfg.train.name, "latest", state)
             checkpoints.save(cfg.train.checkpoint_dir, cfg.train.name, epoch + 1, state)
@@ -84,21 +115,54 @@ def run_multiframe_training(
     finetune_camera: bool = False,
     log_every: int = 20,
     face_chunk: int = 128,
+    flow_fn=None,
+    load_pretrained=None,
+    load_lpips=None,
+    vis_fn=None,
 ):
     """Multiframe phases: [init-camera-emb] -> pose warmup -> texture warmup
     -> main loop with hypothesis-drop schedule.
     (reference multiframe train_utils.py:192-284)
+
+    flow_fn: batch preprocessor attaching batch['optical_flows'] (frozen
+    MaskFlownet pass, flow.infer.make_flow_fn). Required whenever the
+    optical-flow loss weight is nonzero — the reference equivalently
+    requires a flow checkpoint (multiframe/main.py:203-214).
+    load_pretrained: optional fn(params, batch_stats) -> (params,
+    batch_stats) merging pretrained weights before replication.
+    vis_fn: optional fn(save_dir, step, state, batch) writing image panels
+    every cfg.train.display_freq steps (visdom replacement).
     """
+    tr = cfg.train
+    mp = cfg.multiplex
+    if cfg.mf_weights.of > 0 and flow_fn is None:
+        raise ValueError(
+            "of_loss_wt > 0 requires optical flow: pass flow_fn "
+            "(e.g. flow.infer.make_flow_fn with --flow_checkpoint), or set "
+            "of_loss_wt=0"
+        )
     mesh = pmesh.make_mesh()
     mods, (tx_full, tx_warm), state = mf.build(
-        cfg, template, num_frames_total, jax.random.PRNGKey(cfg.train.seed)
+        cfg, template, num_frames_total, jax.random.PRNGKey(tr.seed),
+        steps_per_epoch=len(loader),
     )
+    if vis_fn is None and tr.display_freq > 0:
+        from . import visualize
+
+        vis_fn = visualize.make_multiframe_vis_fn(mods, face_chunk)
+    if load_pretrained is not None:
+        params, batch_stats = load_pretrained(state.params, state.batch_stats)
+        state = state.replace(params=params, batch_stats=batch_stats)
+    if load_lpips is not None:
+        state = state.replace(lpips_params=load_lpips(state.lpips_params))
     state = pmesh.replicate(mesh, state)
     save_dir = _save_dir(cfg)
     logger = metrics_logger.MetricsLogger(save_dir)
     metrics_logger.dump_config(save_dir, cfg)
-    tr = cfg.train
-    mp = cfg.multiplex
+
+    def prep(batch):
+        db = to_device(mesh, batch)
+        return flow_fn(db) if flow_fn is not None else db
 
     if init_camera_emb and loader_noaug is not None:
         for batch in loader_noaug:
@@ -108,30 +172,45 @@ def run_multiframe_training(
 
     step_cache: dict = {}
 
-    def get_step(k: int, drop_deform: bool, detach_camera: bool = False):
-        key = (k, drop_deform, detach_camera)
+    def get_step(k: int, drop_deform: bool, detach_camera: bool = False,
+                 use_gtpose: bool = False):
+        key = (k, drop_deform, detach_camera, use_gtpose)
         if key not in step_cache:
             step_cache[key] = mf.make_train_step(
                 mods, tx_full, k=k, drop_deform=drop_deform,
-                detach_camera=detach_camera, face_chunk=face_chunk,
+                detach_camera=detach_camera, use_gtpose=use_gtpose,
+                face_chunk=face_chunk,
             )
         return step_cache[key]
+
+    def maybe_save_latest(total_steps: int):
+        if tr.save_latest_freq > 0 and total_steps % tr.save_latest_freq == 0:
+            checkpoints.save(tr.checkpoint_dir, tr.name, "latest", state)
+
+    def maybe_visualize(total_steps: int, batch):
+        if (
+            vis_fn is not None
+            and tr.display_freq > 0
+            and total_steps % tr.display_freq == 0
+        ):
+            vis_fn(save_dir, total_steps, state, batch)
 
     total_steps = 0
     if tr.warmup:
         warm_step = mf.make_warmup_step(mods, tx_warm, face_chunk=face_chunk)
         for _ in range(tr.num_reps):
             for batch in loader:
-                state, wm = warm_step(state, to_device(mesh, batch))
+                state, wm = warm_step(state, prep(batch))
                 total_steps += 1
                 if total_steps % log_every == 0:
                     logger.log(-1, total_steps, jax.device_get(wm))
         checkpoints.save(tr.checkpoint_dir, tr.name, "warmup", state)
 
     if tr.texture_warmup:
-        tex_step = get_step(mp.num_guesses, drop_deform=True)
+        tex_k = 1 if tr.use_gtpose else mp.num_guesses
+        tex_step = get_step(tex_k, drop_deform=True, use_gtpose=tr.use_gtpose)
         for batch in loader:
-            db = to_device(mesh, batch)
+            db = prep(batch)
             for _ in range(tr.tex_num_reps):
                 state, m = tex_step(state, db)
                 total_steps += 1
@@ -140,15 +219,20 @@ def run_multiframe_training(
     n_epochs = num_epochs if num_epochs is not None else tr.num_epochs
     for epoch in range(tr.num_pretrain_epochs, n_epochs):
         use_gt = schedules.use_gtpose_at(epoch, tr.use_gtpose, finetune_camera)
-        k = schedules.num_guesses_at(
+        # the GT-pose projection path is single-hypothesis (the reference
+        # only exercises use_gtpose with num_guesses=1)
+        k = 1 if use_gt else schedules.num_guesses_at(
             epoch, mp.num_guesses, mp.drop_hypothesis, use_gt
         )
-        step = get_step(k, drop_deform=True)
+        step = get_step(k, drop_deform=True, use_gtpose=use_gt)
         for batch in loader:
-            state, metrics = step(state, to_device(mesh, batch))
+            db = prep(batch)
+            state, metrics = step(state, db)
             total_steps += 1
             if total_steps % log_every == 0:
                 logger.log(epoch, total_steps, jax.device_get(metrics))
+            maybe_save_latest(total_steps)
+            maybe_visualize(total_steps, db)
         if (epoch + 1) % tr.save_epoch_freq == 0:
             checkpoints.save(tr.checkpoint_dir, tr.name, "latest", state)
             checkpoints.save(tr.checkpoint_dir, tr.name, epoch + 1, state)

@@ -194,12 +194,12 @@ def forward(
         tex_pred_f, _, _ = ras.render_texture(
             proj_v_f, faces, atlas, img_size, face_chunk=face_chunk
         )
-        lp = lambda a, b, mp, mg: perceptual_texture_loss(  # noqa: E731
+        lp = lambda a, b, mg: perceptual_texture_loss(  # noqa: E731
             lambda x, y: mods.lpips.apply({"params": lpips_params}, x, y),
             a, b, mg,
         )
-        tex_loss = 0.5 * lp(tex_pred, imgs, mask_pred, masks) + 0.5 * lp(
-            tex_pred_f, imgs_f, mask_pred_f, masks_f
+        tex_loss = 0.5 * lp(tex_pred, imgs, masks) + 0.5 * lp(
+            tex_pred_f, imgs_f, masks_f
         )
         tex_l1 = 0.5 * (
             ((tex_pred * masks[..., None] - imgs * masks[..., None]) ** 2).mean()

@@ -27,6 +27,7 @@ import optax
 
 from .. import config as cfg_lib
 from ..deform.solve import screened_poisson_solve
+from ..flow.infer import shift_flows_for_loss
 from ..geometry import camera as cam_utils
 from ..geometry.mesh_ops import cot_laplacian, cot_laplacian_smoothing
 from ..losses import losses as L
@@ -65,11 +66,53 @@ def _trainable_mpx(mpx: mpx_lib.MultiplexState) -> dict:
     return out
 
 
+def make_optimizer(
+    cfg: cfg_lib.Config, steps_per_epoch: Optional[int] = None
+) -> optax.GradientTransformation:
+    """optimizer_full equivalent (reference train_utils.py:177-189).
+
+    Optional parity features the reference constructs (train_utils.py:181,
+    :185) — a separate camera-predictor Adam and a MultiStepLR([5,150],
+    gamma=0.1) — wired as working optax transforms. (In the reference's
+    shipped loop the scheduler is never .step()ed and optimizer_camera is
+    never used; here they actually take effect when enabled.)
+    """
+    tr = cfg.train
+
+    def lr_at(lr: float):
+        if not tr.multistep_lr or not steps_per_epoch:
+            return lr
+        boundaries = {
+            int(m) * steps_per_epoch: tr.lr_gamma for m in tr.lr_milestones
+        }
+        return optax.piecewise_constant_schedule(lr, boundaries)
+
+    adam = optax.adam(lr_at(tr.learning_rate), b1=tr.beta1, b2=0.999)
+    if not tr.separate_camera_opt:
+        return adam
+
+    cam_adam = optax.adam(lr_at(tr.camera_learning_rate), b1=tr.beta1, b2=0.999)
+
+    def label_fn(tree):
+        def walk(node, is_cam):
+            if isinstance(node, dict):
+                return {
+                    k: walk(v, is_cam or "camera_predictor" in str(k))
+                    for k, v in node.items()
+                }
+            return "camera" if is_cam else "general"
+
+        return walk(tree, False)
+
+    return optax.multi_transform({"general": adam, "camera": cam_adam}, label_fn)
+
+
 def build(
     cfg: cfg_lib.Config,
     template: Template,
     num_frames_total: int,
     rng: jax.Array,
+    steps_per_epoch: Optional[int] = None,
 ):
     m = cfg.model
     model = MeshNet(
@@ -104,8 +147,8 @@ def build(
         lpips = LPIPS()
         lpips_params = lpips.init(jax.random.fold_in(rng, 1), dummy, dummy)["params"]
 
-    tx_full = optax.adam(cfg.train.learning_rate, b1=cfg.train.beta1, b2=0.999)
-    tx_warm = optax.adam(1e-2)
+    tx_full = make_optimizer(cfg, steps_per_epoch=steps_per_epoch)
+    tx_warm = optax.adam(cfg.train.warmup_lr)  # reference train_utils.py:187
     opt_state = tx_full.init({"params": params, "mpx": _trainable_mpx(mpx)})
     warmup_opt_state = tx_warm.init(mpx.cams)
     state = MFTrainState(
@@ -148,10 +191,16 @@ def decode_selected_cameras(
     else:
         sel = jnp.tile(jnp.arange(G, dtype=jnp.int32)[:, None], (1, flat.shape[0]))
     if mp.az_el_cam:
+        quat_bias = None
+        if mp.az_el_quat_bias:
+            # per-hypothesis pi/4 rotation-bias chain, gathered for the
+            # selected hypotheses (reference mesh_net.py:363-370)
+            biases = cam_utils.az_el_quat_biases(G)  # (G, 4)
+            quat_bias = biases[sel]  # (k, BT, 4)
         cams = cam_utils.decode_az_el_camera(
             raw, scale_lr_decay=mp.scale_lr_decay, scale_bias=mp.scale_bias,
             az_range_deg=mp.az_euler_range, el_range_deg=mp.el_euler_range,
-            cyc_range_deg=mp.cyc_euler_range,
+            cyc_range_deg=mp.cyc_euler_range, quat_bias=quat_bias,
         )
     else:
         cams = cam_utils.decode_quat_camera(raw, scale_lr_decay=mp.scale_lr_decay)
@@ -170,6 +219,7 @@ def _per_guess_losses(
     lpips_params,
     batch: dict,
     face_chunk: int,
+    vert2kp: Optional[jax.Array] = None,  # (K_kp, V) softmaxed assignment
 ):
     """Render all (guess, frame) pairs and compute the loss matrix.
 
@@ -215,14 +265,19 @@ def _per_guess_losses(
     extras = {"mask_pred": mask_pred, "pix_to_face": pix_to_face}
 
     if w.of > 0:
+        # clip_flows layout (slot t = flow t->t+1) -> loss layout, masked
+        # (reference multiframe/main.py:648: flip along T for T=2)
         flows = batch["optical_flows"]  # (B, T, H, W, 2)
         masks_of = masks.reshape(B, T, img_size, img_size)
-        flows_f = jnp.flip(flows, axis=1) * masks_of[..., None]
+        flows_f = shift_flows_for_loss(flows) * masks_of[..., None]
         verts_seq = verts_rep.reshape(k * B, T, t.num_verts, 3)
         flows_rep = jnp.tile(flows_f, (k, 1, 1, 1, 1))
+        # visibility comes free from the soft_silhouette_vis pass above —
+        # the reference re-rasterizes all k*B*T meshes here (main.py:676)
         of_loss, *_ = L.optical_flow_loss(
             verts_seq, cams_flat, flows_rep, faces, img_size,
             reduce=False, face_chunk=face_chunk,
+            visible=jax.lax.stop_gradient(vis_verts),
         )  # (k*B*(T-1),)
         of_loss = of_loss.reshape(k, B, T - 1)
         # reference repeats the per-clip loss over the T frames of the clip
@@ -266,9 +321,19 @@ def _per_guess_losses(
         metrics["tex_loss"] = tex
         extras["tex_pred"] = tex_pred
 
-    if w.kp > 0:
-        kps = batch["kp"].reshape(BT, -1, 3)
-        vert2kp = None  # resolved by caller if needed
+    if w.kp > 0 and vert2kp is not None:
+        # per-(guess, frame) keypoint loss — included in both the main
+        # forward (main.py:692-698) and the pose warmup (main.py:503-516)
+        kp_verts = jnp.einsum("kv,bvc->bkc", vert2kp, pred_v)  # (BT, K_kp, 3)
+        kp_proj = cam_utils.project_points(
+            jnp.tile(kp_verts, (k, 1, 1)), cams_flat
+        )
+        kp_loss = L.kp_l2_loss(
+            kp_proj, jnp.tile(batch["kp"].reshape(BT, -1, 3), (k, 1, 1)),
+            reduce=False,
+        ).reshape(k, BT)
+        loss_matrix = loss_matrix + w.kp * kp_loss
+        metrics["kp_loss"] = kp_loss
     return loss_matrix, metrics, extras
 
 
@@ -285,9 +350,19 @@ def forward(
     train: bool,
     drop_deform: bool = False,
     detach_camera: bool = False,
+    use_gtpose: bool = False,
     face_chunk: int = 128,
 ):
     """Full multiframe forward (multiframe/main.py:523-765).
+
+    use_gtpose: project/render with the GT sfm cameras instead of the
+    multiplex (reference main.py:610-614; `finetune_camera` flips this off
+    at epoch 30 via the driver's schedule). The reference only runs this
+    with num_guesses=1, and we do the same (driver forces k=1). Deviation:
+    we transport the GT cameras through the affine augmentation
+    (transform_camera) — the reference projects with untransported GT cams
+    under augmentation, which misaligns them with the augmented images;
+    with augmentation off the two are identical.
 
     Returns (total_loss, aux) where aux carries the new probs writeback.
     """
@@ -324,6 +399,15 @@ def forward(
     cam_pred, sel = decode_selected_cameras(mods, mpx_t.cams, mpx_t, batch, k)
     if detach_camera:
         cam_pred = jax.lax.stop_gradient(cam_pred)
+    if use_gtpose:
+        # mirror transport already happened in the dataset (sfm_pose is
+        # flipped with the clip); apply the affine transport here
+        gt_cams = batch["sfm_pose"].reshape(BT, 7)
+        transforms = batch["transforms"].reshape(BT, 4)
+        gt_cams = cam_utils.transform_camera(gt_cams, transforms)
+        proj_cams = jnp.broadcast_to(gt_cams[None], (k, BT, 7))
+    else:
+        proj_cams = cam_pred
 
     mean_shape = model.apply({"params": params}, method=model.get_mean_shape)
     lbs = model.apply({"params": params}, method=model.get_lbs)
@@ -357,26 +441,21 @@ def forward(
             method=model.textures,
         )
 
+    vert2kp = None
+    if w.kp > 0:
+        vert2kp = model.apply({"params": params}, method=model.get_vert2kp)
+
     # remat: the per-guess render+loss block holds G*B*T rendered views of
     # activations — recompute them in the backward pass instead of saving
     per_guess = jax.checkpoint(
-        lambda cp, pv, at: _per_guess_losses(
-            mods, cp, pv, at, lpips_params, batch, face_chunk
+        lambda cp, pv, at, v2k: _per_guess_losses(
+            mods, cp, pv, at, lpips_params, batch, face_chunk, vert2kp=v2k
         ),
         prevent_cse=False,
     )
-    loss_matrix, per_guess_metrics, extras = per_guess(cam_pred, pred_v, atlas)
-
-    if w.kp > 0:
-        vert2kp = model.apply({"params": params}, method=model.get_vert2kp)
-        kp_verts = jnp.einsum("kv,bvc->bkc", vert2kp, pred_v)
-        kp_rep = jnp.tile(kp_verts, (k, 1, 1))
-        kp_proj = cam_utils.project_points(kp_rep, cam_pred.reshape(k * BT, 7))
-        kp_loss = L.kp_l2_loss(
-            kp_proj, jnp.tile(batch["kp"].reshape(BT, -1, 3), (k, 1, 1)), reduce=False
-        ).reshape(k, BT)
-        loss_matrix = loss_matrix + w.kp * kp_loss
-        per_guess_metrics["kp_loss"] = kp_loss
+    loss_matrix, per_guess_metrics, extras = per_guess(
+        proj_cams, pred_v, atlas, vert2kp
+    )
 
     # soft-min hypothesis weighting (main.py:736-746)
     probs = jax.lax.stop_gradient(jax.nn.softmax(-loss_matrix, axis=0))
@@ -437,13 +516,14 @@ def warmup_forward(
     mean_shape: jax.Array,
     batch: dict,
     face_chunk: int = 128,
+    vert2kp: Optional[jax.Array] = None,
 ):
     """Pose-warmup loss: mean shape rendered under every hypothesis.
 
-    (reference multiframe/main.py:438-521). Returns (loss, probs (G, BT)).
+    (reference multiframe/main.py:438-521; the kp term enters the
+    per-hypothesis matrix when kp_loss_wt > 0, main.py:503-516).
+    Returns (loss, probs (G, BT)).
     """
-    cfg = mods.cfg
-    w = cfg.mf_weights
     t = mods.template
     G = cams_table.shape[0]
     B, T = batch["frames_idx"].shape
@@ -454,7 +534,8 @@ def warmup_forward(
     )
     pred_v = jnp.broadcast_to(mean_shape[None], (BT, t.num_verts, 3))
     loss_matrix, metrics, _ = _per_guess_losses(
-        mods, cam_pred, pred_v, None, None, batch, face_chunk
+        mods, cam_pred, pred_v, None, None, batch, face_chunk,
+        vert2kp=vert2kp,
     )
     probs = jax.lax.stop_gradient(jax.nn.softmax(-loss_matrix, axis=0))
     return loss_matrix.mean(), probs
@@ -471,6 +552,7 @@ def make_train_step(
     k: int,
     drop_deform: bool = True,
     detach_camera: bool = False,
+    use_gtpose: bool = False,
     face_chunk: int = 128,
 ):
     """Main-loop step (optimizer_full over model + multiplex tables)."""
@@ -481,7 +563,8 @@ def make_train_step(
                 mods, trainables["params"], state.batch_stats, trainables["mpx"],
                 state.multiplex, state.lpips_params, batch,
                 k=k, train=True, drop_deform=drop_deform,
-                detach_camera=detach_camera, face_chunk=face_chunk,
+                detach_camera=detach_camera, use_gtpose=use_gtpose,
+                face_chunk=face_chunk,
             )
 
         trainables = {"params": state.params, "mpx": _trainable_mpx(state.multiplex)}
@@ -520,10 +603,16 @@ def make_warmup_step(
         mean_shape = mods.model.apply(
             {"params": state.params}, method=mods.model.get_mean_shape
         )
+        vert2kp = None
+        if mods.cfg.mf_weights.kp > 0:
+            vert2kp = mods.model.apply(
+                {"params": state.params}, method=mods.model.get_vert2kp
+            )
 
         def loss_fn(cams_table):
             loss, probs = warmup_forward(
-                mods, cams_table, state.multiplex, mean_shape, batch, face_chunk
+                mods, cams_table, state.multiplex, mean_shape, batch,
+                face_chunk, vert2kp=vert2kp,
             )
             return loss, probs
 

@@ -152,7 +152,10 @@ void acfm_preprocess_masks(const uint8_t* masks, int b, int h, int w,
   for (int i = 0; i < b; i++) {
     const uint8_t* m = masks + (size_t)i * h * w;
     acfm_compute_dt(m, h, w, /*norm=*/0, edt_out + (size_t)i * h * w);
-    acfm_compute_dt_barrier(m, h, w, barrier_k, bdt_out + (size_t)i * h * w);
+    // bdt_out may be null: the training path skips the barrier DT (the
+    // reference computes it per step but never consumes it)
+    if (bdt_out != nullptr)
+      acfm_compute_dt_barrier(m, h, w, barrier_k, bdt_out + (size_t)i * h * w);
     std::vector<int32_t> pts(2 * max_pts);
     int n = acfm_compute_boundaries(m, h, w, pts.data(), max_pts);
     float* out = boundaries_out + (size_t)i * max_pts * 3;

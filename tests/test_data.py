@@ -66,7 +66,9 @@ class TestNativeParity:
 
     def test_batched_boundaries_match(self):
         masks = np.stack([blob_mask(seed=s) for s in range(3)])
-        edt, bdt, bounds = native.preprocess_masks(masks, max_pts=400)
+        edt, bdt, bounds = native.preprocess_masks(
+            masks, max_pts=400, with_barrier=True
+        )
         ref = image_utils.compute_boundaries(masks, max_points=400)
         for i in range(3):
             a = set(map(tuple, np.round(bounds[i][bounds[i, :, 2] > 0, :2], 5)))

@@ -92,3 +92,46 @@ class TestSchedules:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestTrainingVisPanels:
+    def test_multiframe_vis_fn_writes_png(self, tmp_path):
+        """display_freq panels: the driver's vis hook writes PNG files
+        (visdom replacement, reference multiframe/main.py:775-855)."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from acfm_video_3d_reconstruction_tpu import config as cfg_lib
+        from acfm_video_3d_reconstruction_tpu.data.synthetic import (
+            SyntheticConfig, SyntheticDataset, preprocess_batch,
+        )
+        from acfm_video_3d_reconstruction_tpu.models import build_template
+        from acfm_video_3d_reconstruction_tpu.train import multiframe as mf
+        from acfm_video_3d_reconstruction_tpu.train import visualize
+
+        template = build_template(subdivide=1, num_lbs=6, tex_size=2, num_kps=0)
+        cfg = cfg_lib.Config(
+            model=dataclasses.replace(
+                cfg_lib.ModelConfig(), img_size=64, nz_feat=32, num_lbs=6,
+                num_kps=0, tex_size=2, texture=False, symmetric=False,
+                symmetric_texture=False,
+            ),
+            train=dataclasses.replace(
+                cfg_lib.TrainConfig(), batch_size=1, num_frames=2, offset_z=0.0
+            ),
+        )
+        mods, _, state = mf.build(cfg, template, 4, jax.random.PRNGKey(0))
+        ds = SyntheticDataset(
+            template,
+            SyntheticConfig(num_frames_total=4, clip_len=2, image_size=64, num_kps=3),
+        )
+        batch = preprocess_batch(ds.get_batch(np.asarray([0])), 64)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        vis_fn = visualize.make_multiframe_vis_fn(mods, face_chunk=80)
+        vis_fn(str(tmp_path), 7, state, batch)
+        import os
+
+        files = os.listdir(tmp_path / "vis")
+        assert files == ["step_0000007.png"]

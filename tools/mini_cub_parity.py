@@ -1,0 +1,244 @@
+"""Mini-CUB quality-parity run.
+
+Real CUB_200_2011 images cannot ship in this environment, so this tool
+re-generates a faithful mini-CUB from the reference's exact annotation
+schema (monocular/data/cub.py: images/ PNGs + data/<split>_cub_cleaned.mat
+with rel_path/mask/bbox.x1..y2/parts + sfm/anno_<split>.mat with
+scale/trans/rot + S/conv_tri), renders self-consistent synthetic birds
+with known GT, then runs the REAL monocular pipeline end to end:
+CUBDataset -> DataLoader -> run_monocular_training -> evaluator, reporting
+PCK@0.1/0.15 and mask IoU on a held-out split exactly like
+monocular/evaluate.py:95-104.
+
+Usage: python tools/mini_cub_parity.py [--steps 600] [--out DEMO_RESULTS.md]
+"""
+import argparse
+import dataclasses
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import scipy.io as sio
+
+RAW = 192          # raw image size written to disk
+IMG = 128          # training crop size
+N_TRAIN = 32
+N_TEST = 16
+NUM_KPS = 8
+NUM_LBS = 12
+
+
+def quaternion_matrix(q):
+    w, x, y, z = q
+    return np.asarray([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def generate(root, template):
+    """Render synthetic birds into the reference CUB annotation layout."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from acfm_video_3d_reconstruction_tpu.deform.solve import (
+        lbs_from_logits, screened_poisson_solve,
+    )
+    from acfm_video_3d_reconstruction_tpu.geometry import camera as cam_utils
+    from acfm_video_3d_reconstruction_tpu.ops import rasterizer as ras
+
+    rng = np.random.default_rng(7)
+    N = N_TRAIN + N_TEST
+    # GT normalized cameras in the RAW frame (object ~40% of frame)
+    cams = np.zeros((N, 7), np.float32)
+    ang = rng.uniform(-0.7, 0.7, N)
+    cams[:, 0] = rng.uniform(0.35, 0.45, N)
+    cams[:, 1:3] = rng.uniform(-0.15, 0.15, (N, 2))
+    cams[:, 3] = np.cos(ang / 2)
+    cams[:, 5] = np.sin(ang / 2)
+    deform = (rng.normal(size=(N, NUM_LBS, 3)) * 0.05).astype(np.float32)
+    kp_verts = rng.choice(template.num_verts, NUM_KPS, replace=False)
+
+    A = lbs_from_logits(jnp.asarray(template.lbs_logits))
+    pred_v = screened_poisson_solve(
+        jnp.asarray(template.verts), A, jnp.asarray(deform),
+        jnp.asarray(template.uniform_L),
+    )
+    jcams = jnp.asarray(cams)
+    proj = cam_utils.orthographic_proj_withz(pred_v, jcams, offset_z=5.0)
+    fc = 40 if template.num_faces % 40 == 0 else template.num_faces
+    mask, _ = ras.soft_silhouette(proj, jnp.asarray(template.faces), RAW,
+                                  face_chunk=fc)
+    masks = np.asarray(mask > 0.5, np.float32)
+    kp2d = np.asarray(
+        cam_utils.project_points(pred_v[:, kp_verts], jcams)
+    )  # [-1,1] of the raw frame
+    kp_px = (kp2d + 1.0) / 2.0 * RAW
+
+    gx = np.linspace(0, 1, RAW, dtype=np.float32)
+    os.makedirs(osp.join(root, "images"), exist_ok=True)
+    os.makedirs(osp.join(root, "cache", "data"), exist_ok=True)
+    os.makedirs(osp.join(root, "cache", "sfm"), exist_ok=True)
+
+    splits = {"train": range(N_TRAIN), "test": range(N_TRAIN, N)}
+    for split, ids in splits.items():
+        dt = np.dtype([("rel_path", "O"), ("mask", "O"), ("bbox", "O"),
+                       ("parts", "O")])
+        images = np.zeros((len(list(ids)),), dt)
+        sdt = np.dtype([("scale", "O"), ("trans", "O"), ("rot", "O")])
+        sfm = np.zeros((images.shape[0],), sdt)
+        for j, i in enumerate(splits[split]):
+            m = masks[i]
+            img = np.stack(
+                [m * gx[None, :], m * gx[:, None], m * 0.5], axis=-1
+            )
+            rel = f"{split}_{j:03d}.png"
+            cv2.imwrite(
+                osp.join(root, "images", rel),
+                cv2.cvtColor((img * 255).astype(np.uint8), cv2.COLOR_RGB2BGR),
+            )
+            ys, xs = np.nonzero(m > 0.5)
+            pad = 6
+            # one-indexed bbox (reference schema subtracts 1 on load)
+            bbox = {
+                "x1": float(max(xs.min() - pad, 0) + 1),
+                "y1": float(max(ys.min() - pad, 0) + 1),
+                "x2": float(min(xs.max() + pad, RAW - 1) + 1),
+                "y2": float(min(ys.max() + pad, RAW - 1) + 1),
+            }
+            parts = np.concatenate(
+                [kp_px[i].T + 1.0, np.ones((1, NUM_KPS))], axis=0
+            )  # (3, K) one-indexed, all visible
+            images[j] = (rel, m.astype(np.uint8), bbox, parts)
+            # pixel-frame weak-persp camera for the raw image
+            s_px = RAW / 2.0 * cams[i, 0]
+            t_px = RAW * (cams[i, 1:3] + 1.0) / 2.0
+            sfm[j] = (
+                np.asarray([s_px]), t_px.astype(np.float64),
+                quaternion_matrix(cams[i, 3:7]),
+            )
+        sio.savemat(
+            osp.join(root, "cache", "data", f"{split}_cub_cleaned.mat"),
+            {"images": images},
+        )
+        S = np.asarray(pred_v[0, kp_verts]).T  # (3, K) mean-ish shape kps
+        sio.savemat(
+            osp.join(root, "cache", "sfm", f"anno_{split}.mat"),
+            {"sfm_anno": sfm, "S": S.T, "conv_tri": np.ones((1, 3))},
+        )
+    return deform, kp_verts
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--root", type=str, default="/tmp/mini_cub")
+    ap.add_argument("--out", type=str, default="DEMO_RESULTS.md")
+    ap.add_argument("--append", action="store_true", default=True)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from acfm_video_3d_reconstruction_tpu import config as cfg_lib
+    from acfm_video_3d_reconstruction_tpu.data.cub import CUBDataset
+    from acfm_video_3d_reconstruction_tpu.data.loader import DataLoader
+    from acfm_video_3d_reconstruction_tpu.eval import metrics as em
+    from acfm_video_3d_reconstruction_tpu.models import build_template
+    from acfm_video_3d_reconstruction_tpu.train import monocular
+
+    template = build_template(
+        subdivide=3, num_lbs=NUM_LBS, tex_size=4, num_kps=NUM_KPS
+    )
+    print("generating mini-CUB ...", flush=True)
+    generate(args.root, template)
+
+    cfg = cfg_lib.Config(
+        model=dataclasses.replace(
+            cfg_lib.ModelConfig(), img_size=IMG, nz_feat=128, num_lbs=NUM_LBS,
+            num_kps=NUM_KPS, tex_size=4, texture=True, symmetric=False,
+            symmetric_texture=False, dtype="bfloat16",
+        ),
+        mono_weights=dataclasses.replace(
+            cfg_lib.MonocularLossWeights(), triangle=0.3,
+        ),
+        train=dataclasses.replace(
+            cfg_lib.TrainConfig(), batch_size=8, use_gtpose=True,
+            learning_rate=3e-4,
+        ),
+    )
+    mods, tx, state = monocular.build(cfg, template, jax.random.PRNGKey(0))
+
+    train_ds = CUBDataset(args.root, osp.join(args.root, "cache"),
+                          split="train", img_size=IMG, jitter_frac=0.0)
+    test_ds = CUBDataset(args.root, osp.join(args.root, "cache"),
+                         split="test", img_size=IMG, jitter_frac=0.0,
+                         padding_frac=0.05)
+    loader = DataLoader(train_ds, 8, shuffle=True, seed=0)
+    test_loader = DataLoader(test_ds, 8, shuffle=False, drop_last=False)
+
+    step = monocular.make_train_step(mods, tx)
+    ev = monocular.make_eval_step(mods)
+
+    def evaluate(state):
+        stats = em.BenchStats()
+        for b in test_loader:
+            jb = {k: jnp.asarray(v) for k, v in b.items() if k != "inds"}
+            aux = ev(state, jb)
+            mp = (np.asarray(aux["mask_pred"]) > 0.5).astype(np.float32)
+            iou = em.mask_iou(np.asarray(b["mask"]), mp)
+            err, vis = em.kp_errors(np.asarray(aux["kp_pred"]), np.asarray(b["kp"]))
+            stats.update(iou, err, vis)
+        return stats.results()
+
+    before = evaluate(state)
+    print("before:", before, flush=True)
+    t0 = time.perf_counter()
+    n = 0
+    losses = []
+    while n < args.steps:
+        for b in loader:
+            jb = {k: jnp.asarray(v) for k, v in b.items() if k != "inds"}
+            state, metrics = step(state, jb)
+            n += 1
+            if n % 50 == 0:
+                losses.append(round(float(metrics["total_loss"]), 4))
+                print(f"step {n}: {losses[-1]}", flush=True)
+            if n >= args.steps:
+                break
+    dt = time.perf_counter() - t0
+    after = evaluate(state)
+    print("after:", after, flush=True)
+
+    table = (
+        "\n## Mini-CUB parity run (tools/mini_cub_parity.py)\n\n"
+        "Monocular pipeline end-to-end on a re-generated mini-CUB in the "
+        "reference's exact .mat/images schema (real CUB images are not "
+        "available in this environment): CUBDataset -> train "
+        f"{args.steps} steps (batch 8, {IMG}^2, bf16) -> held-out-split "
+        "evaluation per monocular/evaluate.py:95-104.\n\n"
+        "| metric | before | after | reference (real CUB, 64 handles) |\n"
+        "|---|---|---|---|\n"
+        f"| mean mask IoU | {before['mean_iou']:.3f} | {after['mean_iou']:.3f} | (printed, unpublished) |\n"
+        f"| PCK@0.1 | {before['pck_0.1']:.3f} | {after['pck_0.1']:.3f} | 0.915 |\n"
+        f"| PCK@0.15 | {before['pck_0.15']:.3f} | {after['pck_0.15']:.3f} | — |\n\n"
+        f"loss trajectory (every 50): {losses}\n\n"
+        f"wall-clock {dt:.1f}s. The published 0.915 PCK@0.1 is on real CUB "
+        "birds after 330 epochs; this run demonstrates the identical "
+        "pipeline (schema, loaders, losses, eval) converging on "
+        "schema-faithful synthetic data with known GT. Gap to the "
+        "published number is unmeasurable without the real dataset.\n"
+    )
+    with open(args.out, "a") as f:
+        f.write(table)
+    print(f"appended mini-CUB results to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -2,6 +2,7 @@
 self-consistent synthetic dataset and report mask-IoU / PCK before vs
 after. Writes DEMO_RESULTS.md. This is the fixed-seed convergence evidence
 the reference repo never had (SURVEY.md §4)."""
+import argparse
 import dataclasses
 import json
 import sys
@@ -24,8 +25,18 @@ from acfm_video_3d_reconstruction_tpu.models import build_template
 from acfm_video_3d_reconstruction_tpu.train import monocular
 
 IMG = 128
-STEPS = 800
 BATCH = 8
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--steps", type=int, default=800)
+ap.add_argument("--mask_wt", type=float, default=1.0)
+ap.add_argument("--kp_wt", type=float, default=30.0)
+ap.add_argument("--triangle_wt", type=float, default=3.0)
+ap.add_argument("--rigid_wt", type=float, default=0.5)
+ap.add_argument("--boundaries_wt", type=float, default=1.0)
+ap.add_argument("--out", type=str, default="DEMO_RESULTS.md")
+ARGS = ap.parse_args()
+STEPS = ARGS.steps
 
 
 def main():
@@ -41,7 +52,9 @@ def main():
         # template over the first ~1k steps before mask/kp anchoring wins —
         # fine over the reference's 100k-step runs, noise in a short demo)
         mono_weights=dataclasses.replace(
-            cfg_lib.MonocularLossWeights(), triangle=3.0,
+            cfg_lib.MonocularLossWeights(),
+            mask=ARGS.mask_wt, kp=ARGS.kp_wt, triangle=ARGS.triangle_wt,
+            rigid=ARGS.rigid_wt, boundaries=ARGS.boundaries_wt,
         ),
         train=dataclasses.replace(
             cfg_lib.TrainConfig(), batch_size=BATCH, use_gtpose=True,
@@ -84,13 +97,19 @@ def main():
         state, metrics = step(state, batches[i % len(batches)])
         if i % 50 == 0:
             losses.append(float(metrics["total_loss"]))
-            print(f"step {i}: total_loss={losses[-1]:.4f}", flush=True)
+            parts = {
+                k: round(float(v), 4)
+                for k, v in metrics.items()
+                if k in ("kp_loss", "mask_loss", "tri_loss", "rigid_loss",
+                         "edt_loss", "bdt_loss", "tex_loss")
+            }
+            print(f"step {i}: total_loss={losses[-1]:.4f} {parts}", flush=True)
     jax.block_until_ready(metrics["total_loss"])
     dt = time.perf_counter() - t0
     after = evaluate(state)
     print("after:", after, flush=True)
 
-    with open("DEMO_RESULTS.md", "w") as f:
+    with open(ARGS.out, "w") as f:
         f.write(
             "# Synthetic convergence demo (tools/train_synthetic_demo.py)\n\n"
             f"Monocular trainer, {STEPS} steps, batch {BATCH}, {IMG}^2, one TPU "
