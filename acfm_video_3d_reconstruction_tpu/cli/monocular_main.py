@@ -38,8 +38,18 @@ flags.DEFINE_boolean("texture", True, "predict texture")
 flags.DEFINE_boolean("symmetric", True, "symmetric mesh")
 flags.DEFINE_boolean("use_gtpose", True, "use GT sfm pose for projection")
 flags.DEFINE_string("split", "train", "data split")
+flags.DEFINE_integer("nz_feat", 200, "latent feature size")
+flags.DEFINE_integer("tex_size", 6, "texture atlas resolution per face")
+flags.DEFINE_integer("save_epoch_freq", 50, "save every N epochs")
 flags.DEFINE_float("kp_loss_wt", 30.0, "keypoint loss weight")
 flags.DEFINE_float("mask_loss_wt", 1.0, "mask loss weight")
+flags.DEFINE_float("cam_loss_wt", 2.0, "camera loss weight")
+flags.DEFINE_float("boundaries_reg_wt", 1.0, "silhouette-consistency weight")
+flags.DEFINE_float("edt_reg_wt", 0.1, "edt weight inside sil-cons")
+flags.DEFINE_float("bdt_reg_wt", 0.1, "boundary weight inside sil-cons")
+flags.DEFINE_float("tex_loss_wt", 0.5, "texture loss weight")
+flags.DEFINE_float("rigid_wt", 0.5, "locally-rigid prior weight")
+flags.DEFINE_float("triangle_reg_wt", 30.0, "laplacian smoothing weight")
 flags.DEFINE_integer("log_every", 20, "steps between scalar logs")
 flags.DEFINE_integer("save_latest_freq", 0, "mid-epoch latest saves (steps)")
 flags.DEFINE_integer("display_freq", 0, "visualization panels every N steps")
@@ -54,6 +64,8 @@ def build_cfg() -> cfg_lib.Config:
         model=dataclasses.replace(
             cfg_lib.ModelConfig(),
             img_size=FLAGS.img_size,
+            nz_feat=FLAGS.nz_feat,
+            tex_size=FLAGS.tex_size,
             num_lbs=FLAGS.num_lbs,
             num_kps=FLAGS.num_kps,
             texture=FLAGS.texture,
@@ -63,7 +75,12 @@ def build_cfg() -> cfg_lib.Config:
             kp_dict_path=FLAGS.kp_dict or None,
         ),
         mono_weights=dataclasses.replace(
-            cfg_lib.MonocularLossWeights(), kp=FLAGS.kp_loss_wt, mask=FLAGS.mask_loss_wt
+            cfg_lib.MonocularLossWeights(),
+            kp=FLAGS.kp_loss_wt, mask=FLAGS.mask_loss_wt,
+            cam=FLAGS.cam_loss_wt, boundaries=FLAGS.boundaries_reg_wt,
+            edt=FLAGS.edt_reg_wt, bdt=FLAGS.bdt_reg_wt,
+            tex=FLAGS.tex_loss_wt, rigid=FLAGS.rigid_wt,
+            triangle=FLAGS.triangle_reg_wt,
         ),
         train=dataclasses.replace(
             cfg_lib.TrainConfig(),
@@ -72,6 +89,7 @@ def build_cfg() -> cfg_lib.Config:
             num_epochs=FLAGS.num_epochs,
             num_pretrain_epochs=FLAGS.num_pretrain_epochs,
             use_gtpose=FLAGS.use_gtpose,
+            save_epoch_freq=FLAGS.save_epoch_freq,
             save_latest_freq=FLAGS.save_latest_freq,
             display_freq=FLAGS.display_freq,
             checkpoint_dir=FLAGS.checkpoint_dir,

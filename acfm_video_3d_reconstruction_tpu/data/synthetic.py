@@ -29,6 +29,11 @@ class SyntheticConfig:
     num_kps: int = 4
     seed: int = 0
     offset_z: float = 5.0
+    # keypoint anchor vertex ids; None -> random choice. Pass the same ids
+    # to build_template(kp_vertex_ids=...) so vert2kp starts from a sane
+    # assignment like the reference's kp-dictionary init
+    # (monocular/nnutils/mesh_net.py:354-397).
+    kp_vertex_ids: tuple | None = None
 
 
 class SyntheticDataset:
@@ -51,7 +56,12 @@ class SyntheticDataset:
         base = rng.normal(size=(N // cfg.clip_len + 1, K, 3)) * 0.05
         self.gt_deform = np.repeat(base, cfg.clip_len, axis=0)[:N].astype(np.float32)
         # keypoint anchor vertices
-        self.kp_verts = rng.choice(template.num_verts, cfg.num_kps, replace=False)
+        if cfg.kp_vertex_ids is not None:
+            self.kp_verts = np.asarray(cfg.kp_vertex_ids)
+        else:
+            self.kp_verts = rng.choice(
+                template.num_verts, cfg.num_kps, replace=False
+            )
         self._render_all()
 
     def _render_all(self):

@@ -100,6 +100,28 @@ def clip_flows(
     return jnp.concatenate([flow, jnp.zeros((B, 1, S, S, 2), flow.dtype)], axis=1)
 
 
+def predict_flow_native(params, im0: jax.Array, im1: jax.Array) -> jax.Array:
+    """Native-resolution flow for benchmark evaluation (AEPE).
+
+    Mirrors reference predict.py:74-93: centralize, stretch to the next
+    /64-divisible size (the reference 'pads' by bilinear interpolation),
+    run the net, Upsample x4, stretch back with per-axis vector rescale.
+    im0/im1 (B, H, W, 3) -> (B, H, W, 2) channels (dx, dy) in pixels.
+    """
+    B, H, W = im0.shape[:3]
+    nh = -(-H // 64) * 64
+    nw = -(-W // 64) * 64
+    im0c, im1c = centralize(im0, im1)
+    im0r = jax.image.resize(im0c, (B, nh, nw, 3), "bilinear")
+    im1r = jax.image.resize(im1c, (B, nh, nw, 3), "bilinear")
+    preds, _, _ = mfn.maskflownet(params, im0r, im1r)
+    up = ops.upsample2d_flow(preds[-1], 4)  # (B, nh, nw, 2) = (dy, dx)
+    dy = up[..., 0] * (H / nh)
+    dx = up[..., 1] * (W / nw)
+    flow = jnp.stack([dx, dy], axis=-1)
+    return jax.image.resize(flow, (B, H, W, 2), "bilinear")
+
+
 def shift_flows_for_loss(flows: jax.Array) -> jax.Array:
     """clip_flows layout -> loss layout: slot t+1 = flow(t -> t+1), slot 0
     zero. Equals the reference's flip along T for T=2 (main.py:648)."""

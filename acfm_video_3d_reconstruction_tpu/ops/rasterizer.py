@@ -40,6 +40,7 @@ clipped barycentrics for atlas sampling.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -48,8 +49,9 @@ import jax.numpy as jnp
 # PyTorch3D blend defaults used throughout the reference:
 SIGMA = 1e-4
 GAMMA = 1e-4
-# blur_radius = log(1/1e-4 - 1) * sigma  (nmr.py:209)
-BLUR_RADIUS = float(jnp.log(1.0 / 1e-4 - 1.0) * SIGMA)
+# blur_radius = log(1/1e-4 - 1) * sigma  (nmr.py:209); host math — a device
+# computation at import time can block on a busy/slow accelerator tunnel
+BLUR_RADIUS = math.log(1.0 / 1e-4 - 1.0) * SIGMA
 
 _BIG = 1e10
 

@@ -43,17 +43,10 @@ _FAR = 4.0  # sentinel coordinate for invalid face slots (off-screen in NDC)
 
 # ---------------------------------------------------------------- binning --
 
-def _face_tables(verts: jax.Array, faces: jax.Array, image_size: int,
-                 tile_h: int, tile_w: int, K: int, margin: float):
-    """Build per-tile face tables.
-
-    Returns (table (B, T, 16, K) f32, idx (B, T, K) int32). Table rows:
-    [ax, ay, bx, by, cx, cy, za, zb, zc, 0...]; invalid slots get
-    coordinates at _FAR (no coverage, ~zero soft contribution) and idx -1.
-    """
-    B = verts.shape[0]
+def _tile_overlap(verts: jax.Array, faces: jax.Array, image_size: int,
+                  tile_h: int, tile_w: int, margin: float) -> jax.Array:
+    """(B, T, F) bool: face bbox (+margin) overlaps pixel tile t."""
     fv = verts[:, faces]  # (B, F, 3, 3)
-    F = faces.shape[0]
     xy = fv[..., :2]
     xmin = xy[..., 0].min(-1) - margin  # (B, F)
     xmax = xy[..., 0].max(-1) + margin
@@ -62,7 +55,6 @@ def _face_tables(verts: jax.Array, faces: jax.Array, image_size: int,
 
     n_ty = image_size // tile_h
     n_tx = image_size // tile_w
-    T = n_ty * n_tx
     # tile extents in NDC ([-1, 1], pixel centers at (2i+1)/S - 1)
     ty = jnp.arange(n_ty)
     tx = jnp.arange(n_tx)
@@ -75,13 +67,44 @@ def _face_tables(verts: jax.Array, faces: jax.Array, image_size: int,
     tx0 = jnp.tile(x0, n_ty)
     tx1 = jnp.tile(x1, n_ty)
 
-    # overlap (B, T, F)
-    ov = (
+    return (
         (xmin[:, None, :] <= tx1[None, :, None])
         & (xmax[:, None, :] >= tx0[None, :, None])
         & (ymin[:, None, :] <= ty1[None, :, None])
         & (ymax[:, None, :] >= ty0[None, :, None])
     )
+
+
+def bin_overflow_counts(
+    verts: jax.Array,
+    faces: jax.Array,
+    image_size: int,
+    K: int,
+    margin: float = BLUR_RADIUS,
+) -> jax.Array:
+    """(B, T) number of faces each tile DROPS under top-K binning.
+
+    The kernels silently keep only K faces per tile; this diagnostic makes
+    the overflow measurable (asserted ~0 in tests for the bench meshes;
+    call it when bringing up new mesh/image-size combinations).
+    """
+    tile_h, tile_w = _pick_tiles(image_size)
+    ov = _tile_overlap(verts, faces, image_size, tile_h, tile_w, margin)
+    return jnp.maximum(ov.sum(-1) - K, 0)
+
+
+def _face_tables(verts: jax.Array, faces: jax.Array, image_size: int,
+                 tile_h: int, tile_w: int, K: int, margin: float):
+    """Build per-tile face tables.
+
+    Returns (table (B, T, 16, K) f32, idx (B, T, K) int32). Table rows:
+    [ax, ay, bx, by, cx, cy, za, zb, zc, 0...]; invalid slots get
+    coordinates at _FAR (no coverage, ~zero soft contribution) and idx -1.
+    """
+    B = verts.shape[0]
+    fv = verts[:, faces]  # (B, F, 3, 3)
+    F = faces.shape[0]
+    ov = _tile_overlap(verts, faces, image_size, tile_h, tile_w, margin)
     # top-K by overlap (stable order by face index among equal keys)
     k_sel = min(K, F)
     score = ov.astype(jnp.float32) * 2.0 - (

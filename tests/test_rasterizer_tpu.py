@@ -176,3 +176,79 @@ class TestBackwardParity:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestBinOverflow:
+    def test_no_overflow_at_bench_config(self):
+        """The bench mesh (642v/1280f icosphere at 256^2) must not drop
+        faces under the default K for either the soft (256) or hard (192)
+        kernels — guards the silent top-K truncation."""
+        from acfm_video_3d_reconstruction_tpu.geometry import icosphere as ico
+
+        v, f = ico.icosphere(3)
+        cams = jnp.asarray([[0.9, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]])
+        proj = camera.orthographic_proj_withz(
+            jnp.asarray(v, jnp.float32)[None] * 0.7, cams, offset_z=5.0
+        )
+        faces = jnp.asarray(f, jnp.int32)
+        for K in (256, 192):
+            ovf = tpu.bin_overflow_counts(proj, faces, 256, K)
+            assert int(np.asarray(ovf).max()) == 0, (K, np.asarray(ovf).max())
+
+    def test_overflow_detected_when_k_too_small(self):
+        from acfm_video_3d_reconstruction_tpu.geometry import icosphere as ico
+
+        v, f = ico.icosphere(3)
+        cams = jnp.asarray([[0.9, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]])
+        proj = camera.orthographic_proj_withz(
+            jnp.asarray(v, jnp.float32)[None] * 0.7, cams, offset_z=5.0
+        )
+        ovf = tpu.bin_overflow_counts(proj, jnp.asarray(f, jnp.int32), 256, 8)
+        assert int(np.asarray(ovf).max()) > 0
+
+    def test_pick_tiles_divides_image(self):
+        for s in (32, 64, 128, 256, 512, 1024):
+            th, tw = tpu._pick_tiles(s)
+            assert s % th == 0 and s % tw == 0, (s, th, tw)
+
+
+class TestLargeImage:
+    def test_golden_and_grad_512(self):
+        """Forward + gradient parity at 512^2 (interpret mode, small mesh)
+        — sizes beyond the 256^2 bench path stay correct."""
+        v, f = icosphere.icosphere(1)
+        cams = jnp.asarray([[0.85, 0.02, -0.03, 0.9659258, 0.0, 0.258819, 0.0]])
+        proj = camera.orthographic_proj_withz(
+            jnp.asarray(v, jnp.float32)[None] * 0.7, cams, offset_z=5.0
+        )
+        faces = jnp.asarray(f, jnp.int32)
+        S = 512
+        ovf = tpu.bin_overflow_counts(proj, faces, S, 96)
+        assert int(np.asarray(ovf).max()) == 0
+
+        mask_t, p2f_t, vis_t = tpu.soft_silhouette_tpu(
+            proj, faces, S, 96, interpret=INTERP
+        )
+        mask_r, p2f_r = ref.soft_silhouette(
+            proj, faces, S, face_chunk=f.shape[0], impl="ref"
+        )
+        np.testing.assert_allclose(
+            np.asarray(mask_t), np.asarray(mask_r), atol=2e-3
+        )
+        agree = (np.asarray(p2f_t) == np.asarray(p2f_r)).mean()
+        assert agree > 0.995, agree
+
+        def loss_t(p):
+            m, _, _ = tpu.soft_silhouette_tpu(p, faces, S, 96, interpret=INTERP)
+            return (m * m).sum() + m.sum() * 0.1
+
+        def loss_r(p):
+            m, _ = ref.soft_silhouette(p, faces, S, face_chunk=f.shape[0], impl="ref")
+            return (m * m).sum() + m.sum() * 0.1
+
+        gt = jax.grad(loss_t)(proj)
+        gr = jax.grad(loss_r)(proj)
+        scale = np.abs(np.asarray(gr)).max() + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(gt) / scale, np.asarray(gr) / scale, atol=5e-3
+        )

@@ -30,6 +30,9 @@ N_TRAIN = 32
 N_TEST = 16
 NUM_KPS = 8
 NUM_LBS = 12
+# kp anchor vertices shared by generation and the template's vert2kp init
+# (the reference inits vert2kp from its kp dictionary, mesh_net.py:354-397)
+ANCHORS = np.random.default_rng(11).choice(642, NUM_KPS, replace=False)
 
 
 def quaternion_matrix(q):
@@ -54,6 +57,7 @@ def generate(root, template):
     from acfm_video_3d_reconstruction_tpu.ops import rasterizer as ras
 
     rng = np.random.default_rng(7)
+    kp_verts = ANCHORS
     N = N_TRAIN + N_TEST
     # GT normalized cameras in the RAW frame (object ~40% of frame)
     cams = np.zeros((N, 7), np.float32)
@@ -63,7 +67,6 @@ def generate(root, template):
     cams[:, 3] = np.cos(ang / 2)
     cams[:, 5] = np.sin(ang / 2)
     deform = (rng.normal(size=(N, NUM_LBS, 3)) * 0.05).astype(np.float32)
-    kp_verts = rng.choice(template.num_verts, NUM_KPS, replace=False)
 
     A = lbs_from_logits(jnp.asarray(template.lbs_logits))
     pred_v = screened_poisson_solve(
@@ -154,7 +157,8 @@ def main():
     from acfm_video_3d_reconstruction_tpu.train import monocular
 
     template = build_template(
-        subdivide=3, num_lbs=NUM_LBS, tex_size=4, num_kps=NUM_KPS
+        subdivide=3, num_lbs=NUM_LBS, tex_size=4, num_kps=NUM_KPS,
+        kp_vertex_ids=[np.asarray([a]) for a in ANCHORS],
     )
     print("generating mini-CUB ...", flush=True)
     generate(args.root, template)
