@@ -16,6 +16,8 @@ from .monocular_main import FLAGS, build_cfg, build_cub_template
 flags.DEFINE_integer("num_train_epoch", 0, "checkpoint epoch to evaluate")
 flags.DEFINE_integer("max_eval_iter", 0, "max eval batches (0 = all)")
 flags.DEFINE_float("padding_frac", 0.05, "bbox padding fraction")
+flags.DEFINE_integer("save_visuals", 0, "save PNG panels for first N batches")
+flags.DEFINE_string("results_dir", "cachedir/evaluation", "output dir")
 
 
 def main(_):
@@ -52,6 +54,23 @@ def main(_):
             np.asarray(aux["kp_pred"]), batch["kp"], FLAGS.padding_frac
         )
         stats.update(iou, err, vis)
+        if FLAGS.save_visuals > 0 and i < FLAGS.save_visuals:
+            # save_current_visuals parity (reference test_utils.py)
+            import os
+
+            from ..train.visualize import render_row
+            from ..utils import vis as vis_utils
+
+            panel = render_row(
+                np.asarray(batch["img"]), np.asarray(batch["mask"]),
+                np.asarray(aux["mask_pred"]),
+                kp_pred=np.asarray(aux["kp_pred"]),
+            )
+            out = FLAGS.results_dir or "cachedir/evaluation"
+            os.makedirs(out, exist_ok=True)
+            vis_utils.save_image(
+                os.path.join(out, f"eval_batch_{i:04d}.png"), panel
+            )
     stats.print_reference_format()
 
 

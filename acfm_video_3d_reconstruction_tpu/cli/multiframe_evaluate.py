@@ -32,6 +32,7 @@ flags.DEFINE_boolean("optimize_camera", False, "TTO over camera too")
 flags.DEFINE_integer("num_optim_iter", 100, "TTO iterations")
 flags.DEFINE_boolean("use_argmax_camera", False, "argmax multiplex camera (train split)")
 flags.DEFINE_string("results_dir", "cachedir/evaluation", "output dir")
+flags.DEFINE_integer("save_visuals", 0, "save PNG panels for first N batches")
 
 
 def main(_):
@@ -138,6 +139,21 @@ def main(_):
             kp_pred[:, 0], batch["kp"][:, 0], img_size
         )
         stats.update(iou, err, vis)
+        if FLAGS.save_visuals > 0 and i < FLAGS.save_visuals:
+            import os
+
+            from ..train.visualize import render_row
+            from ..utils import vis as vis_utils
+
+            panel = render_row(
+                np.asarray(batch["img"]).reshape(-1, img_size, img_size, 3),
+                np.asarray(batch["mask"]).reshape(-1, img_size, img_size),
+                mask_pred.reshape(-1, img_size, img_size),
+            )
+            os.makedirs(FLAGS.results_dir, exist_ok=True)
+            vis_utils.save_image(
+                osp.join(FLAGS.results_dir, f"eval_batch_{i:04d}.png"), panel
+            )
         if i % 20 == 0:
             print(f"batch {i}/{len(loader)}")
 

@@ -96,7 +96,10 @@ class SingleImageDataset:
             img = img[:, ::-1].copy()
             mask = mask[:, ::-1].copy()
             new_x = img.shape[1] - kp[:, 0] - 1
-            kp = np.hstack([new_x[:, None], kp[:, 1:]])[self.kp_perm]
+            kp = np.hstack([new_x[:, None], kp[:, 1:]])
+            if kp.shape[0] == len(self.kp_perm):
+                kp = kp[self.kp_perm]
+            # else: non-standard kp count (synthetic annos) — identity perm
             R = quaternion_matrix_np(quat)
             D = np.diag([-1.0, 1.0, 1.0])
             quat = quaternion_from_matrix_np(D @ R @ D)

@@ -19,6 +19,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry.symmetry import symmetrize
 from .encoder import Encoder
@@ -66,7 +67,9 @@ class MeshNet(nn.Module):
         )
         if self.predict_texture:
             self.texture_predictor = TexturePredictorUV(
-                uv_sampler=jnp.asarray(t.uv_sampler, self.dtype),
+                # numpy, not jnp: the static-sample tables are computed
+                # host-side from these coordinates at trace time
+                uv_sampler=np.asarray(t.uv_sampler, np.float32),
                 num_sym_faces=t.num_sym_faces,
                 dtype=self.dtype,
             )

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.grid_sample import grid_sample
+from ..ops.static_sample import make_static_bilinear
 from .nn_blocks import ResLayer2d, conv3x3, upsample2x
 
 
@@ -31,7 +31,7 @@ def atlas_image_size(num_faces: int, tex_size: int) -> tuple[int, int]:
 class TexturePredictorUV(nn.Module):
     """Decode res_feats to a per-face texture atlas via a UV color image."""
 
-    uv_sampler: jax.Array  # (F', T, T, 2) static sampling coords
+    uv_sampler: np.ndarray  # (F', T, T, 2) STATIC numpy sampling coords
     num_sym_faces: int = -1  # >=0: append mirrored texture for left faces
     dtype: Any = jnp.float32
 
@@ -55,10 +55,13 @@ class TexturePredictorUV(nn.Module):
                 x = upsample2x(x)
         uvimage = conv3x3(3, dtype=self.dtype)(x)  # (B, H, 2H, 3)
 
-        flow = jnp.broadcast_to(
-            self.uv_sampler.reshape(1, Fp * T * T, 2), (B, Fp * T * T, 2)
+        # static-coordinate bilinear sampling: scatter-free VJP (the
+        # generic grid_sample backward was the step's top cost on TPU)
+        sampler = make_static_bilinear(
+            np.asarray(self.uv_sampler).reshape(-1, 2),
+            uvimage.shape[1], uvimage.shape[2], align_corners=True,
         )
-        tex = grid_sample(uvimage, flow, align_corners=True)  # (B, F'*T*T, 3)
+        tex = sampler(uvimage)  # (B, F'*T*T, 3)
         tex = tex.reshape(B, Fp, T, T, 3)
         tex = (jnp.tanh(tex) + 1.0) / 2.0
         if self.num_sym_faces >= 0:

@@ -335,6 +335,54 @@ def sample_atlas(
     return rgb, covered
 
 
+def soft_silhouette_vis_tex(
+    verts: jax.Array,
+    faces: jax.Array,
+    atlas: jax.Array,
+    image_size: int,
+    num_verts: int,
+    *,
+    sigma: float = SIGMA,
+    blur_radius: float = BLUR_RADIUS,
+    face_chunk: int = 128,
+    impl: str = "auto",
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused soft silhouette + visibility + textured render from ONE
+    rasterization.
+
+    Returns (mask, pix_to_face, vis_verts, rgb, covered). The texture is
+    sampled from the silhouette pass's own z-buffer with stop-gradient
+    geometry — matching the reference, which always detaches pred_v for
+    its (second) texture rasterization (monocular/main.py:238,
+    multiframe/main.py:627); here the second rasterization is gone.
+    """
+    if impl == "tpu" or (impl == "auto" and _use_tpu_kernel(image_size)):
+        from . import rasterizer_tpu
+
+        return rasterizer_tpu.soft_silhouette_vis_tex_tpu(
+            verts, faces, atlas, image_size, 192, sigma, blur_radius
+        )
+    frags = rasterize(
+        verts, faces, image_size, sigma=sigma, blur_radius=blur_radius,
+        face_chunk=face_chunk,
+    )
+    B = verts.shape[0]
+    shape = (B, image_size, image_size)
+    mask = (1.0 - jnp.exp(frags.neg_log_1malpha)).reshape(shape)
+    p2f = frags.pix_to_face.reshape(shape)
+    vis = visible_vertices(p2f, faces, num_verts)
+    rgb, covered = sample_atlas(
+        atlas,
+        jax.lax.stop_gradient(frags.pix_to_face),
+        jax.lax.stop_gradient(frags.bary),
+    )
+    return (
+        mask, p2f, vis,
+        rgb.reshape(B, image_size, image_size, -1),
+        covered.astype(verts.dtype).reshape(shape),
+    )
+
+
 def render_texture(
     verts: jax.Array,
     faces: jax.Array,

@@ -298,7 +298,11 @@ class TPUFragments(NamedTuple):
 
 
 def _pick_tiles(image_size: int) -> tuple[int, int]:
+    """Pixel-tile shape: lane-width 128 when it divides the image, else the
+    largest divisor <= 128 that keeps the (8, 128) VPU tiling happy."""
     tile_w = min(128, image_size)
+    while image_size % tile_w:
+        tile_w //= 2
     tile_h = max(8, min(16, image_size // 2))
     while image_size % tile_h:
         tile_h //= 2
@@ -535,6 +539,91 @@ def _soft_bwd(image_size, K, sigma, blur_radius, interpret, residual, cot):
 
 
 soft_silhouette_tpu.defvjp(_soft_fwd, _soft_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def soft_silhouette_frags_tpu(
+    verts,
+    faces,
+    image_size: int,
+    K: int = 256,
+    sigma: float = SIGMA,
+    blur_radius: float = BLUR_RADIUS,
+    interpret: bool = False,
+):
+    """soft_silhouette_tpu + the tiled fragment internals.
+
+    Returns (mask, p2f, vis_verts, slot_t, b0_t, b1_t, idx): the extra
+    arrays expose the soft pass's z-buffer so callers can sample texture
+    atlases from the SAME rasterization (sample_atlas_binned) instead of
+    re-rasterizing. Only `mask` carries a vertex gradient; the fragment
+    internals are geometry state (the reference's texture pass detaches
+    pred_v anyway, monocular/main.py:238).
+    """
+    out, _ = _soft_frags_fwd(
+        verts, faces, image_size, K, sigma, blur_radius, interpret
+    )
+    return out
+
+
+def _soft_frags_fwd(verts, faces, image_size, K, sigma, blur_radius, interpret):
+    (S, slot, b0, b1, zbuf), (tab, counts), idx, (th, tw, n_t) = _run_fwd(
+        verts, faces, image_size, K, sigma, blur_radius, True, interpret
+    )
+    mask = 1.0 - jnp.exp(_untile(S, image_size, th, tw))
+    Bn = verts.shape[0]
+    slot_flat = slot.reshape(Bn, n_t, -1)
+    covered = slot_flat >= 0
+    gathered = jnp.take_along_axis(
+        idx, jnp.where(covered, slot_flat, 0), axis=-1
+    )
+    p2f = jnp.where(covered, gathered, -1).reshape(slot.shape)
+    p2f = _untile(p2f, image_size, th, tw).astype(jnp.int32)
+    vis_verts = visible_slots(slot, idx, faces, verts.shape[1])
+    residual = (verts, faces, S, idx, tab, counts)
+    return (mask, p2f, vis_verts, slot, b0, b1, idx), residual
+
+
+def _soft_frags_bwd(image_size, K, sigma, blur_radius, interpret, residual, cot):
+    # only the mask cotangent reaches the geometry
+    return _soft_bwd(
+        image_size, K, sigma, blur_radius, interpret, residual, (cot[0],)
+    )
+
+
+soft_silhouette_frags_tpu.defvjp(_soft_frags_fwd, _soft_frags_bwd)
+
+
+def soft_silhouette_vis_tex_tpu(
+    verts,
+    faces,
+    atlas,
+    image_size: int,
+    K: int = 256,
+    sigma: float = SIGMA,
+    blur_radius: float = BLUR_RADIUS,
+    interpret: bool = False,
+):
+    """Fused silhouette + texture: ONE rasterization serves both the soft
+    mask (vertex gradients) and the atlas sampling (atlas gradients).
+
+    Returns (mask, p2f, vis_verts, rgb, covered). Saves the separate hard
+    rasterization the reference pays for its texture renderer
+    (nmr.py:225-252) — its pix_to_face differs from the soft pass's only
+    within the blur margin (~0.1 px at 256^2).
+    """
+    mask, p2f, vis, slot, b0, b1, idx = soft_silhouette_frags_tpu(
+        verts, faces, image_size, K, sigma, blur_radius, interpret
+    )
+    th, tw = _pick_tiles(image_size)
+    sg = jax.lax.stop_gradient
+    frags = TPUFragments(
+        mask=mask, pix_to_face=p2f, bary=None, zbuf=None,
+        slot_t=sg(slot), b0_t=sg(b0), b1_t=sg(b1), idx=sg(idx),
+        tile=(th, tw),
+    )
+    rgb, covered = sample_atlas_binned(atlas, frags, image_size)
+    return mask, p2f, vis, rgb, covered
 
 
 def hard_rasterize_tpu(

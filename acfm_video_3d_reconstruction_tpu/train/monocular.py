@@ -161,9 +161,25 @@ def forward(
     proj_v = cam_utils.orthographic_proj_withz(
         pred_v, proj_cam, offset_z=cfg.train.offset_z
     )
-    mask_pred, pix_to_face, vis_verts = ras.soft_silhouette_vis(
-        proj_v, faces, img_size, t.num_verts, face_chunk=face_chunk
-    )
+    atlas = None
+    if cfg.model.texture:
+        atlas = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            res_feats,
+            train=False,
+            method=model.textures,
+        )
+        # one rasterization serves mask + visibility + texture sampling
+        mask_pred, pix_to_face, vis_verts, tex_pred, _ = (
+            ras.soft_silhouette_vis_tex(
+                proj_v, faces, atlas, img_size, t.num_verts,
+                face_chunk=face_chunk,
+            )
+        )
+    else:
+        mask_pred, pix_to_face, vis_verts = ras.soft_silhouette_vis(
+            proj_v, faces, img_size, t.num_verts, face_chunk=face_chunk
+        )
 
     metrics = {}
     total = 0.0
@@ -176,15 +192,6 @@ def forward(
 
     tex_loss = 0.0
     if cfg.model.texture:
-        atlas = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            res_feats,
-            train=False,
-            method=model.textures,
-        )
-        tex_pred, _, _ = ras.render_texture(
-            proj_v, faces, atlas, img_size, face_chunk=face_chunk
-        )
         imgs_f, cam_f, mask_pred_f, masks_f = mirror_batch(
             imgs, proj_cam, mask_pred, masks
         )
@@ -194,12 +201,12 @@ def forward(
         tex_pred_f, _, _ = ras.render_texture(
             proj_v_f, faces, atlas, img_size, face_chunk=face_chunk
         )
-        lp = lambda a, b, mg: perceptual_texture_loss(  # noqa: E731
+        # one LPIPS pass over [orig; flip] instead of two half-batch passes
+        tex_loss = perceptual_texture_loss(
             lambda x, y: mods.lpips.apply({"params": lpips_params}, x, y),
-            a, b, mg,
-        )
-        tex_loss = 0.5 * lp(tex_pred, imgs, masks) + 0.5 * lp(
-            tex_pred_f, imgs_f, masks_f
+            jnp.concatenate([tex_pred, tex_pred_f], 0),
+            jnp.concatenate([imgs, imgs_f], 0),
+            jnp.concatenate([masks, masks_f], 0),
         )
         tex_l1 = 0.5 * (
             ((tex_pred * masks[..., None] - imgs * masks[..., None]) ** 2).mean()

@@ -244,9 +244,20 @@ def _per_guess_losses(
     verts_rep = jnp.tile(pred_v, (k, 1, 1))
     cams_flat = cam_pred.reshape(k * BT, 7)
     proj_v = cam_utils.orthographic_proj_withz(verts_rep, cams_flat, offset_z=0.0)
-    mask_pred, pix_to_face, vis_verts = ras.soft_silhouette_vis(
-        proj_v, faces, img_size, t.num_verts, face_chunk=face_chunk
-    )
+    tex_pred = None
+    if w.tex > 0 and atlas is not None:
+        # one rasterization serves mask + visibility + texture sampling
+        atlas_rep = jnp.tile(atlas, (k, 1, 1, 1, 1))
+        mask_pred, pix_to_face, vis_verts, tex_pred, _ = (
+            ras.soft_silhouette_vis_tex(
+                proj_v, faces, atlas_rep, img_size, t.num_verts,
+                face_chunk=face_chunk,
+            )
+        )
+    else:
+        mask_pred, pix_to_face, vis_verts = ras.soft_silhouette_vis(
+            proj_v, faces, img_size, t.num_verts, face_chunk=face_chunk
+        )
 
     masks_rep = jnp.tile(masks, (k, 1, 1))
     mask_loss = L.l1_loss(mask_pred, masks_rep, reduce=False).reshape(k, BT)
@@ -288,10 +299,6 @@ def _per_guess_losses(
         metrics["of_loss"] = of_loss
 
     if w.tex > 0 and atlas is not None:
-        atlas_rep = jnp.tile(atlas, (k, 1, 1, 1, 1))
-        tex_pred, _, _ = ras.render_texture(
-            proj_v, faces, atlas_rep, img_size, face_chunk=face_chunk
-        )
         imgs_rep = jnp.tile(imgs, (k, 1, 1, 1))
         imgs_f, cams_f, mask_pred_f, masks_f = (
             imgs_rep[:, :, ::-1],
@@ -305,13 +312,15 @@ def _per_guess_losses(
         tex_pred_f, _, _ = ras.render_texture(
             proj_v_f, faces, atlas_rep, img_size, face_chunk=face_chunk
         )
-        lp = lambda a, b, mg: perceptual_texture_loss(  # noqa: E731
+        # one LPIPS pass over [orig; flip] instead of two half-batch passes
+        per = perceptual_texture_loss(
             lambda x, y: mods.lpips.apply({"params": lpips_params}, x, y),
-            a, b, mg, reduce=False,
+            jnp.concatenate([tex_pred, tex_pred_f], 0),
+            jnp.concatenate([imgs_rep, imgs_f], 0),
+            jnp.concatenate([masks_rep, masks_f], 0),
+            reduce=False,
         )
-        tex = 0.5 * lp(tex_pred, imgs_rep, masks_rep) + 0.5 * lp(
-            tex_pred_f, imgs_f, masks_f
-        )
+        tex = 0.5 * (per[: k * BT] + per[k * BT :])
         mse = 0.5 * (
             ((tex_pred - imgs_rep) * masks_rep[..., None]) ** 2
             + ((tex_pred_f - imgs_f) * masks_f[..., None]) ** 2

@@ -207,7 +207,7 @@ class TestBinOverflow:
         assert int(np.asarray(ovf).max()) > 0
 
     def test_pick_tiles_divides_image(self):
-        for s in (32, 64, 128, 256, 512, 1024):
+        for s in (32, 64, 96, 128, 192, 256, 320, 512, 1024):
             th, tw = tpu._pick_tiles(s)
             assert s % th == 0 and s % tw == 0, (s, th, tw)
 
@@ -252,3 +252,60 @@ class TestLargeImage:
         np.testing.assert_allclose(
             np.asarray(gt) / scale, np.asarray(gr) / scale, atol=5e-3
         )
+
+
+class TestFusedSilhouetteTexture:
+    def test_matches_separate_calls(self, scene):
+        """Fused soft+texture == soft_silhouette_vis + atlas sampling from
+        the same (soft) fragments, on both paths."""
+        proj, faces = scene
+        rng = np.random.default_rng(0)
+        F = faces.shape[0]
+        atlas = jnp.asarray(rng.random((2, F, 3, 3, 3)).astype(np.float32))
+
+        m_t, p_t, v_t, rgb_t, cov_t = tpu.soft_silhouette_vis_tex_tpu(
+            proj, faces, atlas, IMG, 320, interpret=INTERP
+        )
+        m_s, p_s, v_s = tpu.soft_silhouette_tpu(
+            proj, faces, IMG, 320, interpret=INTERP
+        )
+        np.testing.assert_allclose(np.asarray(m_t), np.asarray(m_s), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(p_t), np.asarray(p_s))
+        np.testing.assert_allclose(np.asarray(v_t), np.asarray(v_s), atol=1e-6)
+        # rgb covered exactly where a face wins the z-buffer
+        np.testing.assert_array_equal(
+            np.asarray(cov_t), np.asarray(p_t) >= 0
+        )
+
+        # reference path agrees (same soft-fragment sampling semantics)
+        m_r, p_r, v_r, rgb_r, cov_r = ref.soft_silhouette_vis_tex(
+            proj, faces, atlas, IMG, proj.shape[1],
+            face_chunk=faces.shape[0], impl="ref",
+        )
+        agree = (np.asarray(p_t) == np.asarray(p_r)).mean()
+        assert agree > 0.995, agree
+        both = (
+            (np.asarray(cov_t) > 0) & (np.asarray(cov_r) > 0)
+            & (np.asarray(p_t) == np.asarray(p_r))
+        )
+        np.testing.assert_allclose(
+            np.asarray(rgb_t)[both], np.asarray(rgb_r)[both], atol=2e-2
+        )
+
+    def test_gradients_flow_to_verts_and_atlas(self, scene):
+        proj, faces = scene
+        rng = np.random.default_rng(1)
+        F = faces.shape[0]
+        atlas = jnp.asarray(rng.random((2, F, 3, 3, 3)).astype(np.float32))
+
+        def loss(p, a):
+            m, _, _, rgb, _ = tpu.soft_silhouette_vis_tex_tpu(
+                p, faces, a, IMG, 320, interpret=INTERP
+            )
+            return (m**2).sum() + (rgb**2).sum()
+
+        gv, ga = jax.grad(loss, argnums=(0, 1))(proj, atlas)
+        assert float(jnp.abs(gv).max()) > 0   # mask grad to verts
+        assert float(jnp.abs(ga).max()) > 0   # texture grad to atlas
+        assert np.isfinite(np.asarray(gv)).all()
+        assert np.isfinite(np.asarray(ga)).all()

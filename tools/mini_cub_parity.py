@@ -169,8 +169,9 @@ def main():
             num_kps=NUM_KPS, tex_size=4, texture=True, symmetric=False,
             symmetric_texture=False, dtype="bfloat16",
         ),
+        # mask 5 balances kp 30 on synthetic data (DEMO_RESULTS.md ablation)
         mono_weights=dataclasses.replace(
-            cfg_lib.MonocularLossWeights(), triangle=0.3,
+            cfg_lib.MonocularLossWeights(), triangle=0.3, mask=5.0,
         ),
         train=dataclasses.replace(
             cfg_lib.TrainConfig(), batch_size=8, use_gtpose=True,
