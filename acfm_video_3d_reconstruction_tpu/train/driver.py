@@ -119,10 +119,17 @@ def run_multiframe_training(
     load_pretrained=None,
     load_lpips=None,
     vis_fn=None,
+    load_warmup: bool = False,
 ):
     """Multiframe phases: [init-camera-emb] -> pose warmup -> texture warmup
     -> main loop with hypothesis-drop schedule.
     (reference multiframe train_utils.py:192-284)
+
+    load_warmup: restore the 'texture_warmup' (or 'warmup') checkpoint and
+    skip the warmup phases (reference --load_warmup,
+    train_utils.py:205-232 guards + load_warmup_network :100-110).
+    num_pretrain_epochs > 0 restores that epoch's checkpoint and resumes
+    the main loop there (reference multiframe/main.py:174-178).
 
     flow_fn: batch preprocessor attaching batch['optical_flows'] (frozen
     MaskFlownet pass, flow.infer.make_flow_fn). Required whenever the
@@ -183,6 +190,28 @@ def run_multiframe_training(
             )
         return step_cache[key]
 
+    skip_warmups = False
+    if load_warmup:
+        for label in ("texture_warmup", "warmup"):
+            if checkpoints.exists(tr.checkpoint_dir, tr.name, label):
+                state = checkpoints.restore(
+                    tr.checkpoint_dir, tr.name, label, state, strict=False
+                )
+                skip_warmups = True
+                print(f"resumed from '{label}' checkpoint; skipping warmups")
+                break
+        else:
+            print("warning: --load_warmup set but no warmup checkpoint found")
+    if tr.num_pretrain_epochs > 0 and checkpoints.exists(
+        tr.checkpoint_dir, tr.name, tr.num_pretrain_epochs
+    ):
+        state = checkpoints.restore(
+            tr.checkpoint_dir, tr.name, tr.num_pretrain_epochs, state,
+            strict=False,
+        )
+        skip_warmups = True
+        print(f"resumed from epoch {tr.num_pretrain_epochs}")
+
     def maybe_save_latest(total_steps: int):
         if tr.save_latest_freq > 0 and total_steps % tr.save_latest_freq == 0:
             checkpoints.save(tr.checkpoint_dir, tr.name, "latest", state)
@@ -196,7 +225,7 @@ def run_multiframe_training(
             vis_fn(save_dir, total_steps, state, batch)
 
     total_steps = 0
-    if tr.warmup:
+    if tr.warmup and not skip_warmups:
         warm_step = mf.make_warmup_step(mods, tx_warm, face_chunk=face_chunk)
         for _ in range(tr.num_reps):
             for batch in loader:
@@ -206,7 +235,7 @@ def run_multiframe_training(
                     logger.log(-1, total_steps, jax.device_get(wm))
         checkpoints.save(tr.checkpoint_dir, tr.name, "warmup", state)
 
-    if tr.texture_warmup:
+    if tr.texture_warmup and not skip_warmups:
         tex_k = 1 if tr.use_gtpose else mp.num_guesses
         tex_step = get_step(tex_k, drop_deform=True, use_gtpose=tr.use_gtpose)
         for batch in loader:

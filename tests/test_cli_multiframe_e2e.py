@@ -191,3 +191,23 @@ def test_missing_flow_checkpoint_is_a_clear_error(tmp_path, pkl_tree, cheap_flow
     o = small_opts(tmp_path, pkl_tree, flow_random_init=False)
     with pytest.raises(ValueError, match="flow_checkpoint"):
         cli.train(o)
+
+
+def test_load_warmup_resumes_and_skips_phases(tmp_path, pkl_tree, cheap_flow):
+    """--load_warmup restores the warmup checkpoint and skips the warmup
+    phases (reference --load_warmup, train_utils.py:205-232 guards)."""
+    o = small_opts(
+        tmp_path, pkl_tree, warmup=True, num_reps=1, num_epochs=1,
+        name="e2e_resume",
+    )
+    cli.train(o)
+    rows1 = read_metrics(o)
+    assert any("warmup_loss" in r for r in rows1)
+
+    # second run: resume from the warmup ckpt; no warmup rows may appear
+    o2 = dict(o, load_warmup=True)
+    metrics_path = osp.join(o["checkpoint_dir"], o["name"], "metrics.jsonl")
+    os.remove(metrics_path)
+    cli.train(o2)
+    rows2 = read_metrics(o2)
+    assert rows2 and not any("warmup_loss" in r for r in rows2)

@@ -206,6 +206,24 @@ class TestBinOverflow:
         ovf = tpu.bin_overflow_counts(proj, jnp.asarray(f, jnp.int32), 256, 8)
         assert int(np.asarray(ovf).max()) > 0
 
+    def test_auto_k_prevents_small_image_overflow(self):
+        """auto_K must cover the measured per-tile overlap at every image
+        size the trainers/tests use (the silent top-K drop found in round
+        2 produced block holes in 64-128^2 renders)."""
+        from acfm_video_3d_reconstruction_tpu.geometry import icosphere as ico
+
+        v, f = ico.icosphere(3)
+        faces = jnp.asarray(f, jnp.int32)
+        for S in (64, 96, 128, 192, 256):
+            for scale in (0.5, 0.75, 0.9, 1.1):
+                cams = jnp.asarray([[scale, 0.05, -0.05, 1.0, 0.0, 0.0, 0.0]])
+                proj = camera.orthographic_proj_withz(
+                    jnp.asarray(v, jnp.float32)[None] * 0.7, cams, offset_z=5.0
+                )
+                K = tpu.auto_K(f.shape[0], S, 192)
+                ovf = tpu.bin_overflow_counts(proj, faces, S, K)
+                assert int(np.asarray(ovf).max()) == 0, (S, scale, K)
+
     def test_pick_tiles_divides_image(self):
         for s in (32, 64, 96, 128, 192, 256, 320, 512, 1024):
             th, tw = tpu._pick_tiles(s)
