@@ -84,8 +84,12 @@ def eval_dataset(params):
             m = s["mask"] > 0
             epe = epe[m]
         epes.append(epe.mean())
-        if i % 20 == 0:
+        if i % 20 == 0 and epes:
             print(f"{i}/{n} running AEPE {np.mean(epes):.4f}")
+    if not epes:
+        # e.g. --split test on KITTI/Sintel: GT flow is not distributed
+        print(f"AEPE: {FLAGS.dataset} n/a (no ground-truth flow in this split)")
+        return None
     print(f"AEPE: {FLAGS.dataset} {np.mean(epes):.4f} ({len(epes)} samples)")
     return float(np.mean(epes))
 

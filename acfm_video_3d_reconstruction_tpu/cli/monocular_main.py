@@ -50,6 +50,10 @@ flags.DEFINE_float("bdt_reg_wt", 0.1, "boundary weight inside sil-cons")
 flags.DEFINE_float("tex_loss_wt", 0.5, "texture loss weight")
 flags.DEFINE_float("rigid_wt", 0.5, "locally-rigid prior weight")
 flags.DEFINE_float("triangle_reg_wt", 30.0, "laplacian smoothing weight")
+flags.DEFINE_float("deform_reg_wt", 10.0, "deformation L2 reg weight")
+flags.DEFINE_float("vert2kp_loss_wt", 0.16, "vertex-assignment reg weight")
+flags.DEFINE_float("tex_dt_loss_wt", 0.5, "texture dt loss weight")
+flags.DEFINE_float("entropy_lbs_loss_wt", 0.0016, "vert2kp entropy reg weight")
 flags.DEFINE_integer("log_every", 20, "steps between scalar logs")
 flags.DEFINE_integer("save_latest_freq", 0, "mid-epoch latest saves (steps)")
 flags.DEFINE_integer("display_freq", 0, "visualization panels every N steps")
@@ -81,6 +85,8 @@ def build_cfg() -> cfg_lib.Config:
             edt=FLAGS.edt_reg_wt, bdt=FLAGS.bdt_reg_wt,
             tex=FLAGS.tex_loss_wt, rigid=FLAGS.rigid_wt,
             triangle=FLAGS.triangle_reg_wt,
+            deform_reg=FLAGS.deform_reg_wt, vert2kp=FLAGS.vert2kp_loss_wt,
+            tex_dt=FLAGS.tex_dt_loss_wt, entropy_lbs=FLAGS.entropy_lbs_loss_wt,
         ),
         train=dataclasses.replace(
             cfg_lib.TrainConfig(),

@@ -57,7 +57,10 @@ flags.DEFINE_boolean("drop_hypothesis", False, "hypothesis dropping")
 flags.DEFINE_boolean("finetune_camera", False, "switch off gtpose at epoch 30")
 flags.DEFINE_boolean("use_gtpose", False, "use GT poses")
 flags.DEFINE_boolean("az_el_cam", False, "azimuth-elevation multiplex")
-flags.DEFINE_boolean("az_el_quat_bias", True, "pi/4 hypothesis rotation biases")
+flags.DEFINE_boolean(
+    "az_el_quat_bias", False,
+    "pi/4 hypothesis rotation biases (the reference builds but never applies "
+    "this chain — off for strict parity)")
 flags.DEFINE_boolean("optimize_deform", False, "per-frame deform embeddings")
 flags.DEFINE_boolean("scale_mesh", False, "normalize template scale")
 flags.DEFINE_boolean("multistep_lr", False, "MultiStepLR([5,150], 0.1)")
@@ -90,6 +93,11 @@ flags.DEFINE_string("root_dir_yt", "", "YTVIS pkl root dir")
 flags.DEFINE_string("root_dir_coco", "", "COCO pkl root dir")
 flags.DEFINE_string("pascal_img_dir", "", "PASCAL/VOC image dir")
 flags.DEFINE_string("pascal_anno_path", "", "PASCAL CMR-style .mat annos")
+flags.DEFINE_boolean(
+    "expand_imgnet", False,
+    "mix ImageNet synset stills (objects.py synset map; kp-less)")
+flags.DEFINE_string("imgnet_dir", "", "ImageNet images root (synset subdirs)")
+flags.DEFINE_string("imgnet_anno_path", "", "dir of {synset}_{split}.mat annos")
 flags.DEFINE_float("padding_frac", 0.05, "tight-bbox padding fraction")
 flags.DEFINE_boolean("v2_crop", False, "v2 crop (recompute kp visibility)")
 flags.DEFINE_integer("save_epoch_freq", 50, "save every N epochs")
@@ -127,6 +135,7 @@ _FLAG_NAMES = [
     "lpips_alexnet", "flow_checkpoint", "flow_random_init",
     "expand_ytvis", "expand_pascal", "root_dir_yt", "root_dir_coco",
     "pascal_img_dir", "pascal_anno_path", "padding_frac", "v2_crop",
+    "expand_imgnet", "imgnet_dir", "imgnet_anno_path",
 ]
 
 
@@ -312,6 +321,17 @@ def build_video_dataset(o: dict):
                 parts.append(
                     tig.COCOPklDataset(o["root_dir_coco"], cat, num_kps=kps)
                 )
+    if o.get("expand_imgnet"):
+        # reference ImgnetPascalQuadDataset mixes kp-less ImageNet synset
+        # stills into the train split (objects.py:238-243)
+        from ..data.objects import ImageNetQuadVideoDataset
+
+        parts.append(
+            ImageNetQuadVideoDataset(
+                o["imgnet_dir"], o["imgnet_anno_path"], cat,
+                split="train", num_kps=kps,
+            )
+        )
     return parts[0] if len(parts) == 1 else tig.ConcatDataset(parts)
 
 

@@ -84,8 +84,11 @@ class MultiplexConfig:
     optimize_deform: bool = False
     optimize_deform_lr: float = 100.0
     # per-hypothesis pi/4 rotation-bias chain spreading az-el hypotheses in
-    # rotation space (reference mesh_net.py:363-370)
-    az_el_quat_bias: bool = True
+    # rotation space. The reference BUILDS this chain (mesh_net.py:363-370,
+    # cam_biases) but never composes it into the decoded cameras — it is
+    # dead code there — so strict parity is False. True keeps the chain as
+    # an optional deliberate deviation (wider initial hypothesis spread).
+    az_el_quat_bias: bool = False
     drop_hypothesis: bool = False
     # (epoch_threshold, num_guesses) pairs, evaluated in order
     drop_schedule: Tuple[Tuple[int, int], ...] = ((30, 8), (100, 4), (10**9, 4))

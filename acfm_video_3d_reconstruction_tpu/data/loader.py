@@ -33,10 +33,16 @@ _TIME_KEYS = (
 )
 
 
+# module-level generator for collate_min_crop's default: a per-call
+# default_rng(0) would replay the identical crop offsets for every batch
+# (the reference's TigDog_collate draws from global numpy RNG state)
+_COLLATE_RNG = np.random.default_rng(0)
+
+
 def collate_min_crop(samples: list[dict], rng=None) -> dict:
     """Variable-length clip collate: random-crop every clip to the batch's
     min length (reference TigDog_collate, tigdog_final.py:279-307)."""
-    rng = rng or np.random.default_rng(0)
+    rng = rng if rng is not None else _COLLATE_RNG
 
     def clip_len(s):
         return s[next(k for k in ("img", "video") if k in s)].shape[0]

@@ -88,8 +88,8 @@ def bin_overflow_counts(
     the overflow measurable (asserted ~0 in tests for the bench meshes;
     call it when bringing up new mesh/image-size combinations).
     """
-    tile_h, tile_w = _pick_tiles(image_size)
-    ov = _tile_overlap(verts, faces, image_size, tile_h, tile_w, margin)
+    bh, bw, _ = _pick_layout(image_size)
+    ov = _tile_overlap(verts, faces, image_size, bh, bw, margin)
     return jnp.maximum(ov.sum(-1) - K, 0)
 
 
@@ -110,8 +110,11 @@ def _face_tables(verts: jax.Array, faces: jax.Array, image_size: int,
     score = ov.astype(jnp.float32) * 2.0 - (
         jnp.arange(F, dtype=jnp.float32) / F
     )[None, None, :]
-    _, idx = jax.lax.top_k(score, k_sel)  # (B, T, k_sel)
-    valid = jnp.take_along_axis(ov, idx, axis=-1)
+    vals, idx = jax.lax.top_k(score, k_sel)  # (B, T, k_sel)
+    # overlapping faces score in (1, 2], non-overlapping in (-1, 0] — the
+    # top_k VALUES already encode validity (a 196k-row 1-bit gather of ov
+    # at idx measured 1.8-4.9 ms/step on chip; this is free)
+    valid = vals > 0.0
     idx = jnp.where(valid, idx, -1).astype(jnp.int32)
     if K > k_sel:  # pad slots beyond F with invalid entries
         idx = jnp.pad(idx, [(0, 0), (0, 0), (0, K - k_sel)], constant_values=-1)
@@ -137,15 +140,65 @@ def _face_tables(verts: jax.Array, faces: jax.Array, image_size: int,
     return jnp.swapaxes(tab, 2, 3), idx  # (B, T, 16, K), (B, T, K)
 
 
-def _tile_pixels(t, image_size, tile_h, tile_w, dtype):
-    """Pixel-center NDC coords for tile index t -> (px, py) (th, tw)."""
-    n_tx = image_size // tile_w
-    tyi = t // n_tx
-    txi = t % n_tx
-    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
-    py = (2.0 * (tyi * tile_h + rows) + 1.0) / image_size - 1.0
-    px = (2.0 * (txi * tile_w + cols) + 1.0) / image_size - 1.0
+class Layout(NamedTuple):
+    """Pixel-bin layout for the kernels.
+
+    A bin covers a (bh, bw) pixel region. With r == 1 the block IS the
+    region ((bh, bw), the legacy row-strip layout). With r > 1 the region
+    is PACKED into a single (8, r*bw) Mosaic block: r groups of 8 pixel
+    rows sit side by side along the lane axis (lane = g*bw + x,
+    y = sublane + 8*g). Packing lets the bin be geometrically compact
+    (32x32 instead of 16x128) without giving up the (8, 128) VPU block —
+    a compact bin overlaps ~2x fewer faces of a typical mesh AND halves
+    the per-face pixel work, which is what makes the soft-rasterizer
+    kernels fast (PyTorch3D's bin_size=32 coarse rasterization makes the
+    same locality argument, monocular/nnutils/nmr.py:192-224).
+    """
+
+    bh: int
+    bw: int
+    r: int
+
+    @property
+    def block(self) -> tuple[int, int]:
+        return (self.bh // self.r, self.r * self.bw)
+
+    @property
+    def pixels(self) -> int:
+        return self.bh * self.bw
+
+
+def _pick_layout(image_size: int) -> Layout:
+    """Row-strip bins (the (8,128)-aligned tile from _pick_tiles).
+
+    Compact packed bins (e.g. Layout(32, 32, 4)) halve the kernels' pixel
+    work, but every XLA-side structure indexed by (T, K) — the top_k
+    binning, the slot->face gradient scatter, the atlas slot gather —
+    scales with bins x capacity and measured SLOWER overall on chip
+    (214 -> 175 fps at 256^2: bins 2x, K 192 -> 256 for small-object
+    density). The kernels themselves are per-face-iteration bound, not
+    pixel bound, so the strip layout + face-vectorized kernels win.
+    """
+    th, tw = _pick_tiles(image_size)
+    return Layout(th, tw, 1)
+
+
+def _tile_pixels(t, image_size, layout: Layout, dtype):
+    """Pixel-center NDC coords for bin index t over the layout's block."""
+    bh, bw, r = layout
+    blk_h, blk_w = layout.block
+    n_bx = image_size // bw
+    byi = t // n_bx
+    bxi = t % n_bx
+    rows = jax.lax.broadcasted_iota(jnp.int32, (blk_h, blk_w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (blk_h, blk_w), 1)
+    if r > 1:
+        ly = rows + blk_h * (cols // bw)
+        lx = cols % bw
+    else:
+        ly, lx = rows, cols
+    py = (2.0 * (byi * bh + ly).astype(jnp.float32) + 1.0) / image_size - 1.0
+    px = (2.0 * (bxi * bw + lx).astype(jnp.float32) + 1.0) / image_size - 1.0
     return px.astype(dtype), py.astype(dtype)
 
 
@@ -202,7 +255,7 @@ def _face_geometry(c, px, py, sigma, blur_radius, soft):
 K_CHUNK = 64  # faces per grid step; face-table chunk lives in SMEM (4 KB)
 
 
-def _fwd_kernel(image_size, tile_h, tile_w, k_chunk, sigma, blur_radius, soft,
+def _fwd_kernel(image_size, layout, k_chunk, sigma, blur_radius, soft,
                 count_ref, tab_ref, s_ref, slot_ref, b0_ref, b1_ref, z_ref):
     """Grid (B, T, NKC). tab_ref: (1, 1, 16, k_chunk) in SMEM (dynamic
     scalar indexing is only legal in scalar memory — Mosaic rejects dynamic
@@ -211,8 +264,8 @@ def _fwd_kernel(image_size, tile_h, tile_w, k_chunk, sigma, blur_radius, soft,
     valid faces (count_ref == 0) are skipped entirely."""
     t = pl.program_id(1)
     kc = pl.program_id(2)
-    px, py = _tile_pixels(t, image_size, tile_h, tile_w, jnp.float32)
-    shape = (tile_h, tile_w)
+    px, py = _tile_pixels(t, image_size, layout, jnp.float32)
+    shape = layout.block
 
     @pl.when(kc == 0)
     def _():
@@ -251,37 +304,112 @@ def _fwd_kernel(image_size, tile_h, tile_w, k_chunk, sigma, blur_radius, soft,
         z_ref[0, 0] = zbuf
 
 
-def _bwd_kernel(image_size, tile_h, tile_w, k_chunk, sigma, blur_radius,
-                count_ref, tab_ref, a_ref, grad_ref):
+def _soft_logterm(cs, px, py, sigma, blur_radius):
+    """Soft-silhouette log-term for a SUBLANE-VECTORIZED face group.
+
+    cs: 6 (G, W) blocks [ax, ay, bx, by, cx, cy] (one face per sublane,
+    broadcast along lanes); px/py: (1, W) pixel row. Only the signed-
+    distance path of _face_geometry — z / clipped barycentrics are not
+    part of the alpha gradient and are omitted (bit-identical log term).
+    """
+    ax, ay, bx, by, cx, cy = cs
+    w0 = (bx - px) * (cy - py) - (by - py) * (cx - px)
+    w1 = (cx - px) * (ay - py) - (cy - py) * (ax - px)
+    w2 = (ax - px) * (by - py) - (ay - py) * (bx - px)
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    denom = jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
+    inside = (w0 / denom >= 0.0) & (w1 / denom >= 0.0) & (w2 / denom >= 0.0)
+
+    def seg_d2(ux, uy, vx, vy):
+        ex, ey = vx - ux, vy - uy
+        wx, wy = px - ux, py - uy
+        ee = jnp.maximum(ex * ex + ey * ey, 1e-12)
+        t = jnp.clip((wx * ex + wy * ey) / ee, 0.0, 1.0)
+        dx = wx - t * ex
+        dy = wy - t * ey
+        return dx * dx + dy * dy
+
+    d2 = jnp.minimum(
+        jnp.minimum(seg_d2(ax, ay, bx, by), seg_d2(bx, by, cx, cy)),
+        seg_d2(cx, cy, ax, ay),
+    )
+    signed = jnp.where(inside, -d2, d2)
+    in_radius = inside | (signed < blur_radius)
+    return jnp.where(in_radius, jax.nn.log_sigmoid(signed / sigma), 0.0)
+
+
+def _flat_tile_pixels(t, image_size, layout: Layout, pixels: int):
+    """Pixel-center NDC coords for bin t as FLAT (1, P) lane vectors.
+
+    The backward kernel keeps the whole tile's pixels in the lane axis of
+    one (8, P) logical block (Mosaic splits it into P/128 VREGs per op) —
+    sublanes are the 8 faces of the current group.
+    """
+    bh, bw, r = layout
+    blk_h, blk_w = layout.block
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, pixels), 1)
+    row = pix // blk_w
+    col = pix % blk_w
+    if r > 1:
+        ly = row + blk_h * (col // bw)
+        lx = col % bw
+    else:
+        ly, lx = row, col
+    n_bx = image_size // bw
+    byi = t // n_bx
+    bxi = t % n_bx
+    py = (2.0 * (byi * bh + ly).astype(jnp.float32) + 1.0) / image_size - 1.0
+    px = (2.0 * (bxi * bw + lx).astype(jnp.float32) + 1.0) / image_size - 1.0
+    return px, py
+
+
+def _bwd_kernel(image_size, layout, k_chunk, sigma, blur_radius,
+                count_ref, tabt_ref, a_ref, grad_ref):
     """Accumulate d(loss)/d(face coords) per (tile, slot).
 
-    Grid (B, T, NKC). a_ref: (1, 1, th, tw) = cot_mask * (-exp(S)).
-    grad_ref out: (1, 1, k_chunk, 16) written once per grid step; rows are
-    scattered into place with a one-hot outer product (no dynamic-sublane
-    stores, which Mosaic rejects). Empty chunks write zeros directly.
+    Grid (B, T, NKC). Inputs: tabt_ref (1, 1, k_chunk, 16) VMEM — the face
+    table TRANSPOSED so a face group is a static (8, 16) sublane slice (no
+    scalar assembly); a_ref (1, 1, 1, P) VMEM — cot_mask * (-exp(S)) with
+    the tile's pixels FLAT in the lane axis. grad_ref out (1,1,k_chunk,16).
+
+    Faces go 8 per group into SUBLANES, all P tile pixels into LANES: one
+    jax.grad per group over (8, P) blocks replaces the serial per-face
+    formulation (9 scalar SMEM reads + 9 full-block reductions per face,
+    ~550 cycles/face measured) with ~200 wide ops + 6 lane-reductions per
+    8 faces. Gradients flow only to the 6 xy components — z never enters
+    the alpha term. Groups are statically unrolled (8 per chunk) so the
+    (8, 16) result rows store at static sublane offsets (Mosaic rejects
+    dynamic sublane stores); empty groups are skipped via the chunk count.
     """
     t = pl.program_id(1)
-    px, py = _tile_pixels(t, image_size, tile_h, tile_w, jnp.float32)
-    A = a_ref[0, 0]
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (k_chunk, 16), 0)
+    P = layout.pixels
+    px, py = _flat_tile_pixels(t, image_size, layout, P)
+    A = a_ref[0, 0]  # (1, P)
+    count = count_ref[0, 0, 0, 0]
+    ones_row = jnp.ones((1, P), jnp.float32)
 
-    def face_term(c):
-        log1mp, _, _, _, _ = _face_geometry(c, px, py, sigma, blur_radius, True)
-        return jnp.sum(A * log1mp)
+    def group_term(cs):
+        lt = _soft_logterm(cs, px, py, sigma, blur_radius)  # (8, P)
+        return jnp.sum(A * lt)
 
-    grad_fn = jax.grad(face_term)
+    grad_fn = jax.grad(group_term)
 
-    def body(k, G):
-        c = [tab_ref[0, 0, i, k] for i in range(9)]
-        g = grad_fn(c)  # list of 9 scalars
-        grow = jnp.concatenate(
-            [jnp.asarray(g).reshape(9), jnp.zeros((7,), jnp.float32)]
-        )
-        return G + jnp.where(row_ids == k, grow[None, :], 0.0)
+    grad_ref[0, 0] = jnp.zeros((k_chunk, 16), jnp.float32)
+    for g in range(k_chunk // 8):  # static unroll: static output slices
 
-    grad_ref[0, 0] = jax.lax.fori_loop(
-        0, count_ref[0, 0, 0, 0], body, jnp.zeros((k_chunk, 16), jnp.float32)
-    )
+        @pl.when(count > g * 8)
+        def _(g=g):
+            tab8 = tabt_ref[0, 0, g * 8 : (g + 1) * 8, :]  # (8, 16)
+            # manual (8,1) -> (8,P) broadcast so each component's gradient
+            # comes back (8, P) and lane-reduces ONCE per group
+            cs = [tab8[:, i : i + 1] * ones_row for i in range(6)]
+            gs = grad_fn(cs)  # 6 x (8, P)
+            rows = jnp.concatenate(
+                [jnp.sum(gi, axis=1, keepdims=True) for gi in gs]
+                + [jnp.zeros((8, 10), jnp.float32)],
+                axis=1,
+            )  # (8, 16) comps [ax..cy, 0 x10] — z grads are identically 0
+            grad_ref[0, 0, g * 8 : (g + 1) * 8, :] = rows
 
 
 class TPUFragments(NamedTuple):
@@ -294,7 +422,7 @@ class TPUFragments(NamedTuple):
     b0_t: jax.Array         # (B, T, th, tw)
     b1_t: jax.Array         # (B, T, th, tw)
     idx: jax.Array          # (B, T, K) slot -> global face id
-    tile: tuple             # (tile_h, tile_w)
+    tile: tuple             # Layout of the tiled internals
 
 
 def _pick_tiles(image_size: int) -> tuple[int, int]:
@@ -317,16 +445,24 @@ def auto_K(num_faces: int, image_size: int, requested: int) -> int:
     """Top-K bin capacity that cannot silently drop faces at small sizes.
 
     At image sizes below 256 a frame-filling 1280-face mesh overlaps far
-    more faces per (16, W) pixel tile than the 256^2-validated K=192
-    (602 at 64^2, 352 at 128^2 — measured, see tests): the top-K binning
-    then silently drops faces and the rendered mask grows block holes.
-    Bound the per-tile overlap by face-bbox geometry (tile area dilated by
-    the typical projected edge length) with a 3.5x clustering factor for
-    the z-stacked silhouette tiles, and take max(requested, bound). At
-    >= 256^2 the measured overlap (max 133) is well under the defaults,
-    so `requested` stands unchanged.
+    more faces per pixel tile than the 256^2-validated K=192 (602 at 64^2,
+    352 at 128^2 — measured, see tests): the top-K binning then silently
+    drops faces and the rendered mask grows block holes. Below 256^2 this
+    returns the EXACT capacity (num_faces) — these are demo/test scales
+    where the extra table cost is irrelevant and no geometric bound is
+    tight across object scales. At >= 256^2 the measured overlap is well
+    under the defaults, so `requested` stands unchanged (guarded by
+    bin_overflow_counts assertions in tests across sizes x scales).
     """
-    if image_size >= 256 or num_faces <= requested:
+    if num_faces <= requested:
+        return requested
+    if image_size >= 256:
+        # measured max per-strip overlap for a frame-filling 1280-face
+        # icosphere across cam scales 0.5-1.3: 179 at 256^2, 129 at
+        # 512^2, 73 at 1024^2 (larger images spread faces over MORE
+        # strips, so 256^2 is this branch's worst case) — the 192
+        # default covers all of them; tests assert bin_overflow_counts
+        # == 0 across sizes x scales.
         return requested
     # below 256^2 a frame-filling mesh can overlap most faces per tile
     # (no geometric bound is tight across object scales); use the exact
@@ -361,30 +497,32 @@ def _chunk_table(tab: jax.Array, n_kc: int) -> jax.Array:
 def _run_fwd(verts, faces, image_size, K, sigma, blur_radius, soft, interpret):
     B = verts.shape[0]
     K = _round_up(min(K, faces.shape[0]), K_CHUNK)
-    tile_h, tile_w = _pick_tiles(image_size)
-    n_t = (image_size // tile_h) * (image_size // tile_w)
+    layout = _pick_layout(image_size)
+    bh, bw, _ = layout
+    blk_h, blk_w = layout.block
+    n_t = (image_size // bh) * (image_size // bw)
     n_kc = K // K_CHUNK
     # identical margin for soft and hard binning: the hard kernel ignores
     # non-covering candidates, and a shared margin lets XLA CSE the top_k
     # binning between the mask and texture renders of the same vertices.
     margin = math.sqrt(max(blur_radius, BLUR_RADIUS))
     tab, idx = _face_tables(
-        verts, faces, image_size, tile_h, tile_w, K, margin
+        verts, faces, image_size, bh, bw, K, margin
     )
     tab = _chunk_table(tab, n_kc)  # (B, T*n_kc, 16, K_CHUNK)
     counts = _chunk_counts(idx, n_kc)  # (B, T*n_kc)
     kern = functools.partial(
-        _fwd_kernel, image_size, tile_h, tile_w, K_CHUNK, sigma, blur_radius, soft
+        _fwd_kernel, image_size, layout, K_CHUNK, sigma, blur_radius, soft
     )
     out_shapes = [
-        jax.ShapeDtypeStruct((B, n_t, tile_h, tile_w), jnp.float32),
-        jax.ShapeDtypeStruct((B, n_t, tile_h, tile_w), jnp.int32),
-        jax.ShapeDtypeStruct((B, n_t, tile_h, tile_w), jnp.float32),
-        jax.ShapeDtypeStruct((B, n_t, tile_h, tile_w), jnp.float32),
-        jax.ShapeDtypeStruct((B, n_t, tile_h, tile_w), jnp.float32),
+        jax.ShapeDtypeStruct((B, n_t, blk_h, blk_w), jnp.float32),
+        jax.ShapeDtypeStruct((B, n_t, blk_h, blk_w), jnp.int32),
+        jax.ShapeDtypeStruct((B, n_t, blk_h, blk_w), jnp.float32),
+        jax.ShapeDtypeStruct((B, n_t, blk_h, blk_w), jnp.float32),
+        jax.ShapeDtypeStruct((B, n_t, blk_h, blk_w), jnp.float32),
     ]
     tile_spec = pl.BlockSpec(
-        (1, 1, tile_h, tile_w), lambda b, t, kc: (b, t, 0, 0),
+        (1, 1, blk_h, blk_w), lambda b, t, kc: (b, t, 0, 0),
         memory_space=pltpu.VMEM,
     )
     S, slot, b0, b1, zbuf = pl.pallas_call(
@@ -406,16 +544,53 @@ def _run_fwd(verts, faces, image_size, K, sigma, blur_radius, soft, interpret):
         out_shape=out_shapes,
         interpret=interpret,
     )(counts, tab)
-    return (S, slot, b0, b1, zbuf), (tab, counts), idx, (tile_h, tile_w, n_t)
+    return (S, slot, b0, b1, zbuf), (tab, counts), idx, (layout, n_t)
 
 
-def _untile(x, image_size, tile_h, tile_w):
-    """(B, T, th, tw) -> (B, H, W)."""
+def _unpack_block(x, layout: Layout):
+    """(..., blk_h, blk_w) -> (..., bh, bw): undo the lane packing."""
+    bh, bw, r = layout
+    if r == 1:
+        return x
+    lead = x.shape[:-2]
+    blk_h = bh // r
+    x = x.reshape(*lead, blk_h, r, bw)          # lane = g*bw + x
+    x = jnp.moveaxis(x, -2, -3)                 # (..., r, blk_h, bw)
+    return x.reshape(*lead, bh, bw)
+
+
+def _pack_block(x, layout: Layout):
+    """(..., bh, bw) -> (..., blk_h, blk_w): apply the lane packing."""
+    bh, bw, r = layout
+    if r == 1:
+        return x
+    lead = x.shape[:-2]
+    blk_h = bh // r
+    x = x.reshape(*lead, r, blk_h, bw)
+    x = jnp.moveaxis(x, -3, -2)                 # (..., blk_h, r, bw)
+    return x.reshape(*lead, blk_h, r * bw)
+
+
+def _untile(x, image_size, layout: Layout):
+    """(B, T, blk_h, blk_w) -> (B, H, W)."""
     B = x.shape[0]
-    n_ty = image_size // tile_h
-    n_tx = image_size // tile_w
-    x = x.reshape(B, n_ty, n_tx, tile_h, tile_w)
+    bh, bw, _ = layout
+    x = _unpack_block(x, layout)
+    n_by = image_size // bh
+    n_bx = image_size // bw
+    x = x.reshape(B, n_by, n_bx, bh, bw)
     return jnp.swapaxes(x, 2, 3).reshape(B, image_size, image_size)
+
+
+def _tile(x, image_size, layout: Layout):
+    """(B, H, W) -> (B, T, blk_h, blk_w): inverse of _untile."""
+    B = x.shape[0]
+    bh, bw, _ = layout
+    n_by = image_size // bh
+    n_bx = image_size // bw
+    x = x.reshape(B, n_by, bh, n_bx, bw)
+    x = jnp.swapaxes(x, 2, 3).reshape(B, n_by * n_bx, bh, bw)
+    return _pack_block(x, layout)
 
 
 @functools.partial(
@@ -473,10 +648,10 @@ def visible_slots(slot: jax.Array, idx: jax.Array, faces, num_verts: int):
 
 
 def _soft_fwd(verts, faces, image_size, K, sigma, blur_radius, interpret):
-    (S, slot, b0, b1, zbuf), (tab, counts), idx, (th, tw, n_t) = _run_fwd(
+    (S, slot, b0, b1, zbuf), (tab, counts), idx, (layout, n_t) = _run_fwd(
         verts, faces, image_size, K, sigma, blur_radius, True, interpret
     )
-    mask = 1.0 - jnp.exp(_untile(S, image_size, th, tw))
+    mask = 1.0 - jnp.exp(_untile(S, image_size, layout))
     # slot -> global face id
     Bn = verts.shape[0]
     slot_flat = slot.reshape(Bn, n_t, -1)
@@ -485,7 +660,7 @@ def _soft_fwd(verts, faces, image_size, K, sigma, blur_radius, interpret):
         idx, jnp.where(covered, slot_flat, 0), axis=-1
     )
     p2f = jnp.where(covered, gathered, -1).reshape(slot.shape)
-    p2f = _untile(p2f, image_size, th, tw).astype(jnp.int32)
+    p2f = _untile(p2f, image_size, layout).astype(jnp.int32)
     vis_verts = visible_slots(slot, idx, faces, verts.shape[1])
     # the face tables are cheap to keep (few MB) and expensive to rebuild
     # (top_k binning) — save them for the backward pass
@@ -498,19 +673,21 @@ def _soft_bwd(image_size, K, sigma, blur_radius, interpret, residual, cot):
     cot_mask = cot[0]  # p2f / vis_verts carry no gradient
     B = verts.shape[0]
     K = _round_up(min(K, faces.shape[0]), K_CHUNK)
-    tile_h, tile_w = _pick_tiles(image_size)
-    n_t = (image_size // tile_h) * (image_size // tile_w)
+    layout = _pick_layout(image_size)
+    blk_h, blk_w = layout.block
+    n_t = (image_size // layout.bh) * (image_size // layout.bw)
     n_kc = K // K_CHUNK
 
-    # A = dL/dS per pixel = cot_mask * (-exp(S)), tiled like the kernel.
-    n_ty = image_size // tile_h
-    n_tx = image_size // tile_w
-    cot_t = cot_mask.reshape(B, n_ty, tile_h, n_tx, tile_w)
-    cot_t = jnp.swapaxes(cot_t, 2, 3).reshape(B, n_t, tile_h, tile_w)
-    A = cot_t * (-jnp.exp(S))
+    # A = dL/dS per pixel = cot_mask * (-exp(S)), tiled like the kernel,
+    # then flattened to (1, P) lane rows (free: row-major contiguous)
+    P = layout.pixels
+    A = _tile(cot_mask, image_size, layout) * (-jnp.exp(S))
+    A = A.reshape(B, n_t, 1, P)
+    # transposed face table: a face group is a static (8, 16) VMEM slice
+    tabt = jnp.swapaxes(tab, 2, 3)  # (B, T*n_kc, K_CHUNK, 16)
 
     kern = functools.partial(
-        _bwd_kernel, image_size, tile_h, tile_w, K_CHUNK, sigma, blur_radius
+        _bwd_kernel, image_size, layout, K_CHUNK, sigma, blur_radius
     )
     grads = pl.pallas_call(
         kern,
@@ -522,18 +699,18 @@ def _soft_bwd(image_size, K, sigma, blur_radius, interpret, residual, cot):
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 16, K_CHUNK),
+                (1, 1, K_CHUNK, 16),
                 lambda b, t, kc, n_kc=n_kc: (b, t * n_kc + kc, 0, 0),
-                memory_space=pltpu.SMEM,
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, 1, tile_h, tile_w), lambda b, t, kc: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, 1, P), lambda b, t, kc: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, K_CHUNK, 16), lambda b, t, kc: (b, t, kc, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_t, K, 16), jnp.float32),
         interpret=interpret,
-    )(counts, tab, A)
+    )(counts, tabt, A)
 
     # scatter per-slot gradients back to faces then vertices
     F = faces.shape[0]
@@ -553,10 +730,16 @@ def _soft_bwd(image_size, K, sigma, blur_radius, interpret, residual, cot):
         axis=-2,
     )  # (B, F, 3, 3)
     V = verts.shape[1]
-    vgrad = jnp.zeros((B, V, 3), jnp.float32)
-    vgrad = jax.vmap(
-        lambda vg, gg: vg.at[faces.reshape(-1)].add(gg.reshape(-1, 3))
-    )(vgrad, gfv)
+    # faces -> verts reduction as a dense incidence matmul: the batched
+    # 3F-row scatter-add lowered to a 1.65 ms/step sort-based fusion; the
+    # comparison-built one-hot + MXU matmul is ~30x cheaper (f32 HIGHEST
+    # to keep gradient parity with the scatter formulation)
+    f3 = faces.reshape(-1)  # (3F,)
+    inc = (f3[:, None] == jnp.arange(V, dtype=f3.dtype)).astype(jnp.float32)
+    vgrad = jnp.einsum(
+        "bfc,fv->bvc", gfv.reshape(B, -1, 3), inc,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return (vgrad, None)
 
 
@@ -589,10 +772,10 @@ def soft_silhouette_frags_tpu(
 
 
 def _soft_frags_fwd(verts, faces, image_size, K, sigma, blur_radius, interpret):
-    (S, slot, b0, b1, zbuf), (tab, counts), idx, (th, tw, n_t) = _run_fwd(
+    (S, slot, b0, b1, zbuf), (tab, counts), idx, (layout, n_t) = _run_fwd(
         verts, faces, image_size, K, sigma, blur_radius, True, interpret
     )
-    mask = 1.0 - jnp.exp(_untile(S, image_size, th, tw))
+    mask = 1.0 - jnp.exp(_untile(S, image_size, layout))
     Bn = verts.shape[0]
     slot_flat = slot.reshape(Bn, n_t, -1)
     covered = slot_flat >= 0
@@ -600,7 +783,7 @@ def _soft_frags_fwd(verts, faces, image_size, K, sigma, blur_radius, interpret):
         idx, jnp.where(covered, slot_flat, 0), axis=-1
     )
     p2f = jnp.where(covered, gathered, -1).reshape(slot.shape)
-    p2f = _untile(p2f, image_size, th, tw).astype(jnp.int32)
+    p2f = _untile(p2f, image_size, layout).astype(jnp.int32)
     vis_verts = visible_slots(slot, idx, faces, verts.shape[1])
     residual = (verts, faces, S, idx, tab, counts)
     return (mask, p2f, vis_verts, slot, b0, b1, idx), residual
@@ -637,12 +820,12 @@ def soft_silhouette_vis_tex_tpu(
     mask, p2f, vis, slot, b0, b1, idx = soft_silhouette_frags_tpu(
         verts, faces, image_size, K, sigma, blur_radius, interpret
     )
-    th, tw = _pick_tiles(image_size)
+    layout = _pick_layout(image_size)
     sg = jax.lax.stop_gradient
     frags = TPUFragments(
         mask=mask, pix_to_face=p2f, bary=None, zbuf=None,
         slot_t=sg(slot), b0_t=sg(b0), b1_t=sg(b1), idx=sg(idx),
-        tile=(th, tw),
+        tile=layout,
     )
     rgb, covered = sample_atlas_binned(atlas, frags, image_size)
     return mask, p2f, vis, rgb, covered
@@ -657,7 +840,7 @@ def hard_rasterize_tpu(
 ) -> TPUFragments:
     """Hard (coverage-only) rasterization; no gradient to verts."""
     verts = jax.lax.stop_gradient(verts)
-    (S, slot, b0, b1, zbuf), _, idx, (th, tw, n_t) = _run_fwd(
+    (S, slot, b0, b1, zbuf), _, idx, (layout, n_t) = _run_fwd(
         verts, faces, image_size, K, SIGMA, 0.0, False, interpret
     )
     B = verts.shape[0]
@@ -665,16 +848,16 @@ def hard_rasterize_tpu(
     covered = slot_flat >= 0
     gathered = jnp.take_along_axis(idx, jnp.where(covered, slot_flat, 0), axis=-1)
     p2f = jnp.where(covered, gathered, -1).reshape(slot.shape)
-    p2f = _untile(p2f, image_size, th, tw).astype(jnp.int32)
-    mask = _untile((slot >= 0).astype(jnp.float32), image_size, th, tw)
-    b0u = _untile(b0, image_size, th, tw)
-    b1u = _untile(b1, image_size, th, tw)
+    p2f = _untile(p2f, image_size, layout).astype(jnp.int32)
+    mask = _untile((slot >= 0).astype(jnp.float32), image_size, layout)
+    b0u = _untile(b0, image_size, layout)
+    b1u = _untile(b1, image_size, layout)
     bary = jnp.stack([b0u, b1u, 1.0 - b0u - b1u], axis=-1)
     bary = jnp.where(mask[..., None] > 0, bary, 0.0)
     return TPUFragments(
         mask=mask, pix_to_face=p2f, bary=bary,
-        zbuf=_untile(zbuf, image_size, th, tw),
-        slot_t=slot, b0_t=b0, b1_t=b1, idx=idx, tile=(th, tw),
+        zbuf=_untile(zbuf, image_size, layout),
+        slot_t=slot, b0_t=b0, b1_t=b1, idx=idx, tile=layout,
     )
 
 
@@ -688,13 +871,13 @@ def sample_atlas_binned(atlas: jax.Array, frags: TPUFragments, image_size: int):
     gradient. Returns (rgb (B, H, W, C), covered (B, H, W) bool).
     """
     slot, b0, b1, idx = frags.slot_t, frags.b0_t, frags.b1_t, frags.idx
-    th, tw = frags.tile
+    layout = frags.tile
     B, T = slot.shape[:2]
     K = idx.shape[-1]
     F, Ts = atlas.shape[1], atlas.shape[2]
     C = atlas.shape[-1]
     ncell = Ts * Ts
-    P = th * tw
+    P = layout.pixels
 
     atlas_flat = atlas.reshape(B, F, ncell * C)
     safe_idx = jnp.where(idx >= 0, idx, 0)
@@ -740,11 +923,18 @@ def sample_atlas_binned(atlas: jax.Array, frags: TPUFragments, image_size: int):
     rgb = rgb.astype(jnp.float32)
     rgb = jnp.where(covered[..., None], rgb, 0.0)
 
-    rgb = rgb.reshape(B, T, th, tw, C)
-    n_ty = image_size // th
-    n_tx = image_size // tw
-    rgb = rgb.reshape(B, n_ty, n_tx, th, tw, C)
-    rgb = jnp.swapaxes(rgb, 2, 3).reshape(B, image_size, image_size, C)
-    cov = _untile(covered.reshape(B, T, th, tw).astype(jnp.float32),
-                  image_size, th, tw)
+    blk_h, blk_w = layout.block
+    bh, bw, _ = layout
+    # unpack (B, T, P, C) -> image: move C behind the block dims first
+    rgb = rgb.reshape(B, T, blk_h, blk_w, C)
+    rgb = jnp.moveaxis(rgb, -1, 2)                       # (B, T, C, blk_h, blk_w)
+    rgb = _unpack_block(rgb, layout)                     # (B, T, C, bh, bw)
+    n_by = image_size // bh
+    n_bx = image_size // bw
+    rgb = rgb.reshape(B, n_by, n_bx, C, bh, bw)
+    rgb = jnp.transpose(rgb, (0, 1, 4, 2, 5, 3)).reshape(
+        B, image_size, image_size, C
+    )
+    cov = _untile(covered.reshape(B, T, blk_h, blk_w).astype(jnp.float32),
+                  image_size, layout)
     return rgb, cov > 0

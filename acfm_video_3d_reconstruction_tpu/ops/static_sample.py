@@ -8,16 +8,16 @@ train step on TPU (its random-access scatter costs ~100ms at the bench
 shape, >3x the whole rasterizer). Because the coordinates never change we
 can precompute, in numpy at trace time:
 
-  * one flat index per sample point into a 2x2-patch-packed image
-    (forward = ONE static gather of 4C-wide rows + a weighted sum), and
+  * the (P, 4) bilinear corner indices + weights, flattened so the
+    forward is one static 4P-index gather + a weighted corner sum, and
   * an exact inverse table pixel -> (sample point, weight), split into a
     dense low-fan-in tier plus a tiny overflow tier for the few hot
     pixels (spherical UV poles), so the backward is a gather + a
     static-index row update — NO scatter over data-dependent indices.
 
 Both directions are dense reads; TPU gathers are latency-bound per row,
-so packing 4 corners into one row and keeping the inverse tier narrow
-(fan-in p99 ~ 8 vs max 22) is what makes them fast.
+and keeping the inverse tier narrow (fan-in p99 ~ 8 vs max 22) is what
+makes the backward fast.
 """
 from __future__ import annotations
 

@@ -71,5 +71,68 @@ def multiplex_sharding(mesh: Mesh) -> Any:
     }
 
 
+def shard_multiplex(mesh: Mesh, mpx: Any) -> Any:
+    """Device_put a MultiplexState with frame rows sharded over the mesh.
+
+    Frame rows that are not divisible by the mesh size replicate instead
+    (same degradation rule as shard_batch).
+    """
+    import dataclasses
+
+    n = mesh.devices.size
+    sh = multiplex_sharding(mesh)
+    r = replicated(mesh)
+
+    def put(x, spec_key, row_axis):
+        if x is None:
+            return None
+        s = sh[spec_key] if x.shape[row_axis] % n == 0 else r
+        return jax.device_put(x, s)
+
+    return dataclasses.replace(
+        mpx,
+        cams=put(mpx.cams, "cams", 1),
+        probs=put(mpx.probs, "probs", 0),
+        deform=put(mpx.deform, "deform", 0),
+        deform_mirror=put(mpx.deform_mirror, "deform_mirror", 0),
+    )
+
+
+def shard_multiframe_state(mesh: Mesh, state: Any) -> Any:
+    """Place a full MFTrainState on the mesh: params/batch_stats/lpips
+    replicate; the multiplex tables shard by frame row; optimizer moments
+    that mirror a multiplex table shard like it (matched by tree path, so
+    the Adam mu/nu of `mpx/cams` etc. stay chip-local with their table)."""
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    r = replicated(mesh)
+
+    def opt_spec(path, x):
+        shape = jnp.shape(x)
+        keys = [str(getattr(k, "name", getattr(k, "key", k))) for k in path]
+        if "cams" in keys and len(shape) == 3 and shape[1] % n == 0:
+            return NamedSharding(mesh, P(None, axis))
+        if any(k in ("deform", "deform_mirror") for k in keys) and (
+            len(shape) >= 1 and shape and shape[0] % n == 0
+        ):
+            return NamedSharding(mesh, P(axis))
+        return r
+
+    def put_opt(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, x: jax.device_put(x, opt_spec(p, x)), tree
+        )
+
+    return state.replace(
+        params=replicate(mesh, state.params),
+        batch_stats=replicate(mesh, state.batch_stats),
+        lpips_params=replicate(mesh, state.lpips_params),
+        opt_state=put_opt(state.opt_state),
+        warmup_opt_state=put_opt(state.warmup_opt_state),
+        multiplex=shard_multiplex(mesh, state.multiplex),
+        step=jax.device_put(state.step, r),
+    )
+
+
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m

@@ -86,6 +86,14 @@ def restore(
             )
             out.append(tgt_v)
             continue
+        # match the target leaf's dtype and (for committed jax.Arrays, e.g. a
+        # state already replicated over a mesh) its sharding — grafting raw
+        # numpy leaves would silently change placement on a multi-chip mesh
+        t_dtype = getattr(tgt_v, "dtype", None)
+        if t_dtype is not None and getattr(src_v, "dtype", None) != t_dtype:
+            src_v = jax.numpy.asarray(src_v).astype(t_dtype)
+        if isinstance(tgt_v, jax.Array) and tgt_v.committed:
+            src_v = jax.device_put(src_v, tgt_v.sharding)
         out.append(src_v)
     return jax.tree_util.tree_unflatten(treedef, out)
 

@@ -130,15 +130,17 @@ def build(
     batch_stats = variables.get("batch_stats", {})
 
     mp = cfg.multiplex
+    # deform tables (and their Adam state) exist only when the run trains
+    # them — optimize_deform=False runs carry no N_frames x (K*3) dead state
     if mp.az_el_cam:
         mpx = mpx_lib.init_az_el_multiplex(
             num_frames_total, mp.num_guesses, m.num_lbs,
-            with_deform=mp.optimize_deform or True,
+            with_deform=mp.optimize_deform,
         )
     else:
         mpx = mpx_lib.init_quat_multiplex(
             num_frames_total, mp.num_guesses, m.num_lbs,
-            with_deform=mp.optimize_deform or True,
+            with_deform=mp.optimize_deform,
         )
 
     lpips = None

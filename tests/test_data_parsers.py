@@ -166,3 +166,60 @@ def test_v2_crop_recomputes_visibility(tmp_path):
     vis = item["kp"][0, :, 2]
     assert vis[0] == 1.0  # inside the crop
     assert vis[1] == 0.0  # outside the tight bbox -> invisible
+
+
+def test_imagenet_quad_video_dataset(tmp_path):
+    """ImageNet synset loader family (reference objects.py:66-112,157-185):
+    multi-synset concat, bare rel_path prefixing, placeholder kps."""
+    cv2 = pytest.importorskip("cv2")
+    from acfm_video_3d_reconstruction_tpu.data.objects import (
+        IMNET_CLASS2SYNSET,
+        ImageNetQuadVideoDataset,
+        standardize_rel_path,
+    )
+
+    assert IMNET_CLASS2SYNSET["cow"] == ["n01887787"]
+    assert len(IMNET_CLASS2SYNSET["fox"]) == 4
+    assert standardize_rel_path("n02119022_1.JPEG", "n02119022") == (
+        "n02119022/n02119022_1.JPEG"
+    )
+    assert standardize_rel_path("a/b.JPEG", "n02119022") == "a/b.JPEG"
+
+    img_dir = tmp_path / "imgs"
+    anno_dir = tmp_path / "annos"
+    anno_dir.mkdir()
+    rng = np.random.default_rng(0)
+    dt = np.dtype([("rel_path", "O"), ("mask", "O")])
+    # two of fox's four synsets present (missing ones are skipped), one
+    # image each; first uses a bare rel_path, second a nested one
+    for j, (synset, rel) in enumerate(
+        [("n02119022", "fox_a.png"), ("n02119789", "n02119789/fox_b.png")]
+    ):
+        d = img_dir / synset
+        d.mkdir(parents=True, exist_ok=True)
+        img = (rng.random((32, 48, 3)) * 255).astype(np.uint8)
+        name = rel.split("/")[-1]
+        cv2.imwrite(str(d / name), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        mask = np.zeros((32, 48), np.uint8)
+        mask[4 + j : 20, 6 : 30 + j] = 1
+        images = np.zeros((1,), dt)
+        images[0] = (rel, mask)
+        sio.savemat(str(anno_dir / f"{synset}_train.mat"), {"images": images})
+
+    ds = ImageNetQuadVideoDataset(
+        str(img_dir), str(anno_dir), "fox", split="train", num_kps=5
+    )
+    assert len(ds) == 2
+    for i in range(2):
+        s = ds[i]
+        assert s["video"].shape == (2, 32, 48, 3)
+        assert s["segmentations"].shape == (2, 32, 48)
+        # kp-less stills: zero, invisible placeholder landmarks
+        assert s["landmarks"].shape == (2, 5, 3)
+        assert (s["landmarks"] == 0).all()
+
+    # unknown category / empty anno dir fail loudly
+    with pytest.raises(KeyError):
+        ImageNetQuadVideoDataset(str(img_dir), str(anno_dir), "dragon")
+    with pytest.raises(FileNotFoundError):
+        ImageNetQuadVideoDataset(str(img_dir), str(anno_dir), "zebra")

@@ -224,10 +224,34 @@ class TestBinOverflow:
                 ovf = tpu.bin_overflow_counts(proj, faces, S, K)
                 assert int(np.asarray(ovf).max()) == 0, (S, scale, K)
 
-    def test_pick_tiles_divides_image(self):
+    def test_auto_k_no_overflow_at_512_1024_frame_filling(self):
+        """VERDICT r2 #6: assert zero bin overflow one octave up — a
+        frame-filling 1280-face mesh at 512^2 and 1024^2 across object
+        scales, under auto_K's chosen capacity (K picked from measurement
+        at the worst case 256^2, not extrapolation)."""
+        from acfm_video_3d_reconstruction_tpu.geometry import icosphere as ico
+
+        v, f = ico.icosphere(3)
+        faces = jnp.asarray(f, jnp.int32)
+        for S in (512, 1024):
+            for scale in (0.5, 0.75, 0.9, 1.1, 1.3):
+                cams = jnp.asarray([[scale, 0.05, -0.05, 1.0, 0.0, 0.0, 0.0]])
+                proj = camera.orthographic_proj_withz(
+                    jnp.asarray(v, jnp.float32)[None] * 0.7, cams, offset_z=5.0
+                )
+                K = tpu.auto_K(f.shape[0], S, 192)
+                ovf = tpu.bin_overflow_counts(proj, faces, S, K)
+                assert int(np.asarray(ovf).max()) == 0, (S, scale, K)
+
+    def test_pick_layout_divides_image(self):
         for s in (32, 64, 96, 128, 192, 256, 320, 512, 1024):
-            th, tw = tpu._pick_tiles(s)
-            assert s % th == 0 and s % tw == 0, (s, th, tw)
+            lay = tpu._pick_layout(s)
+            assert s % lay.bh == 0 and s % lay.bw == 0, (s, lay)
+            blk_h, blk_w = lay.block
+            assert blk_h * blk_w == lay.pixels
+            # packed layouts must fill a full (8, 128) Mosaic block
+            if lay.r > 1:
+                assert lay.block == (8, 128), lay
 
 
 class TestLargeImage:
@@ -327,3 +351,34 @@ class TestFusedSilhouetteTexture:
         assert float(jnp.abs(ga).max()) > 0   # texture grad to atlas
         assert np.isfinite(np.asarray(gv)).all()
         assert np.isfinite(np.asarray(ga)).all()
+
+
+class TestPackedLayout:
+    def test_tile_untile_roundtrip(self):
+        """The packed (8,128)-block bin layout must be an exact bijection
+        image <-> tiles (gradients tile the cotangent with _tile and the
+        outputs untile with _untile)."""
+        for S in (32, 64, 256):
+            lay = tpu._pick_layout(S)
+            x = jnp.arange(2 * S * S, dtype=jnp.float32).reshape(2, S, S)
+            t = tpu._tile(x, S, lay)
+            assert t.shape[2:] == lay.block
+            back = tpu._untile(t, S, lay)
+            np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+    def test_tile_pixels_match_layout(self):
+        """Kernel pixel coordinates must address exactly the bin's pixels."""
+        S = 64
+        lay = tpu._pick_layout(S)
+        n_bx = S // lay.bw
+        for t in (0, 1, n_bx, n_bx + 1):
+            px, py = tpu._tile_pixels(t, S, lay, jnp.float32)
+            xs = np.round((np.asarray(px) + 1) * S / 2 - 0.5).astype(int)
+            ys = np.round((np.asarray(py) + 1) * S / 2 - 0.5).astype(int)
+            by, bx = t // n_bx, t % n_bx
+            got = set(zip(ys.reshape(-1), xs.reshape(-1)))
+            want = {
+                (by * lay.bh + i, bx * lay.bw + j)
+                for i in range(lay.bh) for j in range(lay.bw)
+            }
+            assert got == want

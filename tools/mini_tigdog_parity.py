@@ -1,0 +1,248 @@
+"""Mini-TigDog multiframe quality-parity run.
+
+The multiframe analog of tools/mini_cub_parity.py: real TigDog video data
+cannot ship in this environment, so this generates a schema-faithful
+mini-TigDog pkl tree (per-video pkls {video, segmentations, bboxes,
+landmarks, sfm_poses}, exactly the reference's
+multiframe/data/tigdog_final.py layout, including the deterministic
+14-video test split), renders self-consistent synthetic quadruped clips
+with known GT cameras/deformations, then runs the REAL multiframe
+pipeline end to end: cli.multiframe_main.train (cache exploding ->
+MultiFrameDataset -> warmup + main loop on the camera multiplex) ->
+cli.multiframe_evaluate (sequential clips, frame-0 IoU + pixel PCK, with
+and without --optimize test-time optimization), reporting
+`mean iou, pck.1, pck.15` per multiframe/benchmark/evaluate.py:227-245.
+
+Usage: python tools/mini_tigdog_parity.py [--epochs 30] [--out DEMO_RESULTS.md]
+"""
+import argparse
+import os
+import os.path as osp
+import pickle
+import re
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+RAW = 144          # raw frame size written into the pkls
+IMG = 128          # training/eval crop size
+N_VIDEOS = 30      # > 14 so the deterministic split keeps 14 test videos
+T_RAW = 6          # frames per video
+NUM_KPS = 8
+NUM_LBS = 12
+ANCHORS = np.random.default_rng(11).choice(642, NUM_KPS, replace=False)
+
+
+def generate(root, template):
+    """Render synthetic clips into the TigDog pkl schema."""
+    import jax.numpy as jnp
+
+    from acfm_video_3d_reconstruction_tpu.deform.solve import (
+        lbs_from_logits, screened_poisson_solve,
+    )
+    from acfm_video_3d_reconstruction_tpu.geometry import camera as cam_utils
+    from acfm_video_3d_reconstruction_tpu.ops import rasterizer as ras
+
+    rng = np.random.default_rng(7)
+    cat_dir = osp.join(root, "horse")
+    os.makedirs(cat_dir, exist_ok=True)
+
+    A = lbs_from_logits(jnp.asarray(template.lbs_logits))
+    L = jnp.asarray(template.uniform_L)
+    base_verts = jnp.asarray(template.verts)
+    faces = jnp.asarray(template.faces)
+    fc = 40 if template.num_faces % 40 == 0 else template.num_faces
+
+    for vid in range(N_VIDEOS):
+        # smooth camera path + slowly-varying articulation across the clip
+        ang0 = rng.uniform(-0.7, 0.7)
+        dang = rng.uniform(-0.06, 0.06)
+        scale = rng.uniform(0.35, 0.45)
+        trans = rng.uniform(-0.12, 0.12, 2)
+        base_deform = rng.normal(size=(NUM_LBS, 3)) * 0.05
+        ddeform = rng.normal(size=(NUM_LBS, 3)) * 0.01
+
+        cams = np.zeros((T_RAW, 7), np.float32)
+        deforms = np.zeros((T_RAW, NUM_LBS, 3), np.float32)
+        for t in range(T_RAW):
+            a = ang0 + dang * t
+            cams[t] = [scale, trans[0], trans[1],
+                       np.cos(a / 2), 0.0, np.sin(a / 2), 0.0]
+            deforms[t] = base_deform + ddeform * t
+
+        pred_v = screened_poisson_solve(
+            base_verts, A, jnp.asarray(deforms), L
+        )
+        jcams = jnp.asarray(cams)
+        proj = cam_utils.orthographic_proj_withz(pred_v, jcams, offset_z=0.0)
+        mask, _ = ras.soft_silhouette(proj, faces, RAW, face_chunk=fc)
+        mask = (np.asarray(mask) > 0.5).astype(np.float32)
+
+        # textured-ish frames: mask-shaded color + noise background
+        video = rng.uniform(0.0, 0.15, (T_RAW, RAW, RAW, 3)).astype(np.float32)
+        shade = np.asarray(proj[..., 2])  # depth-ish
+        color = rng.uniform(0.4, 0.9, 3).astype(np.float32)
+        video += mask[..., None] * color[None, None, None]
+        video = np.clip(video, 0, 1)
+
+        # landmarks: anchor vertices projected to RAW pixel coords
+        kp_ndc = np.asarray(
+            cam_utils.project_points(pred_v[:, ANCHORS], jcams)
+        )  # (T, K, 2) in [-1, 1]
+        kp_px = (kp_ndc + 1.0) * 0.5 * (RAW - 1)
+        vis = (
+            (kp_px[..., 0] >= 0) & (kp_px[..., 0] < RAW)
+            & (kp_px[..., 1] >= 0) & (kp_px[..., 1] < RAW)
+        ).astype(np.float64)
+        landmarks = np.concatenate([kp_px, vis[..., None]], -1)
+
+        ys, xs = np.nonzero(mask.max(0))
+        bbox = np.asarray(
+            [xs.min() - 4, ys.min() - 4, xs.max() + 4, ys.max() + 4], np.float64
+        )
+        with open(osp.join(cat_dir, f"video_{vid:03d}.pkl"), "wb") as f:
+            pickle.dump(
+                {
+                    "video": video,
+                    "segmentations": mask,
+                    "bboxes": np.tile(bbox, (T_RAW, 1)),
+                    "landmarks": landmarks,
+                    "sfm_poses": cams.astype(np.float64),
+                },
+                f,
+            )
+    print(f"wrote {N_VIDEOS} videos to {cat_dir}", flush=True)
+
+
+def run_eval(o, extra):
+    """Run the evaluate CLI in a subprocess; parse `mean iou ...`."""
+    cmd = [
+        sys.executable, "-m",
+        "acfm_video_3d_reconstruction_tpu.cli.multiframe_evaluate",
+        "--name", o["name"], "--category", "horse",
+        "--root_dir", o["root_dir"], "--tmp_dir", o["tmp_dir"],
+        "--checkpoint_dir", o["checkpoint_dir"],
+        "--img_size", str(IMG), "--num_lbs", str(NUM_LBS),
+        "--num_kps", str(NUM_KPS), "--num_frames", "2",
+        "--num_guesses", str(o["num_guesses"]), "--batch_size", "4",
+        "--num_training_frames", "1000",
+        "--texture=False", "--of_loss_wt", "0",
+        "--results_dir", osp.join(o["tmp_dir"], "eval"),
+    ] + extra
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, env=env, cwd=os.getcwd()
+    )
+    text = out.stdout + out.stderr
+    m = re.search(
+        r"mean iou ([0-9.eE+-]+), pck\.1 ([0-9.eE+-]+), pck\.15 ([0-9.eE+-]+)",
+        text,
+    )
+    if not m:
+        print(text[-4000:])
+        raise RuntimeError("evaluate CLI did not print metrics")
+    return {
+        "mean_iou": float(m.group(1)),
+        "pck_0.1": float(m.group(2)),
+        "pck_0.15": float(m.group(3)),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--root", type=str, default="/tmp/mini_tigdog")
+    ap.add_argument("--out", type=str, default="DEMO_RESULTS.md")
+    ap.add_argument("--num_optim_iter", type=int, default=60)
+    args = ap.parse_args()
+
+    from acfm_video_3d_reconstruction_tpu.cli import multiframe_main as cli
+    from acfm_video_3d_reconstruction_tpu.models import build_template
+
+    template = build_template(
+        subdivide=3, num_lbs=NUM_LBS, tex_size=2, num_kps=NUM_KPS,
+        kp_vertex_ids=[np.asarray([a]) for a in ANCHORS],
+    )
+    print("generating mini-TigDog ...", flush=True)
+    generate(args.root, template)
+
+    o = cli.default_opts()
+    o.update(
+        name="mini_tigdog",
+        category="horse",
+        root_dir=args.root,
+        tmp_dir=osp.join(args.root, "cache"),
+        checkpoint_dir=osp.join(args.root, "snapshots"),
+        img_size=IMG,
+        num_lbs=NUM_LBS,
+        subdivide=3,
+        num_kps=NUM_KPS,
+        num_frames=2,
+        num_guesses=4,
+        batch_size=4,
+        num_epochs=args.epochs,
+        num_training_frames=1000,
+        num_reps=2,
+        texture=False,
+        of_loss_wt=0.0,
+        kp_loss_wt=30.0,
+        mask_loss_wt=5.0,
+        warmup=True,
+        init_camera_emb=True,
+        log_every=20,
+        save_epoch_freq=max(args.epochs, 1),
+        save_latest_freq=200,
+    )
+
+    before = run_eval(o, [])
+    print("before (random init):", before, flush=True)
+
+    t0 = time.perf_counter()
+    cli.train(o)
+    dt = time.perf_counter() - t0
+    print(f"trained {args.epochs} epochs in {dt:.1f}s", flush=True)
+
+    after = run_eval(o, [])
+    print("after (regressed cam):", after, flush=True)
+    after_tto = run_eval(
+        o, ["--optimize", "--num_optim_iter", str(args.num_optim_iter)]
+    )
+    print("after + TTO:", after_tto, flush=True)
+
+    table = (
+        "\n## Mini-TigDog multiframe parity run (tools/mini_tigdog_parity.py)\n\n"
+        "Multiframe pipeline end-to-end on a re-generated mini-TigDog pkl tree "
+        "in the reference's exact per-video schema (real TigDog videos are not "
+        "available in this environment): VideoPklDataset (deterministic "
+        "14-video test split) -> cache exploding -> MultiFrameDataset -> "
+        f"camera-multiplex warmup + {args.epochs} epochs (batch 4 clips x 2 "
+        f"frames, {IMG}^2) -> benchmark evaluation per "
+        "multiframe/benchmark/evaluate.py:227-245 (frame-0 IoU, pixel PCK), "
+        "with and without test-time optimization.\n\n"
+        "| metric | random init | trained | trained + TTO |\n"
+        "|---|---|---|---|\n"
+        f"| mean mask IoU | {before['mean_iou']:.3f} | {after['mean_iou']:.3f} "
+        f"| {after_tto['mean_iou']:.3f} |\n"
+        f"| PCK@0.1 | {before['pck_0.1']:.3f} | {after['pck_0.1']:.3f} "
+        f"| {after_tto['pck_0.1']:.3f} |\n"
+        f"| PCK@0.15 | {before['pck_0.15']:.3f} | {after['pck_0.15']:.3f} "
+        f"| {after_tto['pck_0.15']:.3f} |\n\n"
+        f"train wall-clock {dt:.1f}s. The reference publishes no multiframe "
+        "IoU/PCK numbers in-repo (its benchmark prints them per run, "
+        "monocular CUB PCK@0.1=0.915 is the only published metric); this run "
+        "demonstrates the identical multiframe pipeline (schema, split, "
+        "multiplex warmup, TTO, eval) converging on schema-faithful "
+        "synthetic clips with known GT.\n"
+    )
+    with open(args.out, "a") as f:
+        f.write(table)
+    print(f"appended mini-TigDog results to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
