@@ -21,9 +21,17 @@ flags.DEFINE_string("results_dir", "cachedir/evaluation", "output dir")
 
 
 def main(_):
+    import dataclasses
+
     import jax
 
     cfg = build_cfg()
+    # The reference evaluator always projects through the PREDICTED camera
+    # (monocular/nnutils/predictor.py:110-159 uses cam_pred; evaluate.py has
+    # no gtpose path), regardless of the training-time --use_gtpose flag.
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, use_gtpose=False)
+    )
     template = build_cub_template(cfg)
     mods, tx, state = monocular.build(cfg, template, jax.random.PRNGKey(0))
     label = FLAGS.num_train_epoch if FLAGS.num_train_epoch > 0 else "latest"

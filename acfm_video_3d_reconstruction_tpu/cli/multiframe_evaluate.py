@@ -31,6 +31,7 @@ flags.DEFINE_boolean("optimize", False, "test-time optimization")
 flags.DEFINE_boolean("optimize_camera", False, "TTO over camera too")
 flags.DEFINE_integer("num_optim_iter", 100, "TTO iterations")
 flags.DEFINE_boolean("use_argmax_camera", False, "argmax multiplex camera (train split)")
+flags.DEFINE_string("split", "test", "dataset split to evaluate")
 flags.DEFINE_string("results_dir", "cachedir/evaluation", "output dir")
 flags.DEFINE_integer("save_visuals", 0, "save PNG panels for first N batches")
 
@@ -44,13 +45,20 @@ def main(_):
     template = build_mf_template(cfg)
 
     video_ds = tig.VideoPklDataset(
-        FLAGS.root_dir, FLAGS.category, split="test", num_kps=FLAGS.num_kps
+        FLAGS.root_dir, FLAGS.category, split=FLAGS.split, num_kps=FLAGS.num_kps
+    )
+    # the train split reuses the training explosion so frames_idx matches the
+    # multiplex embedding rows (reference benchmark/evaluate.py:77-103 +
+    # argmax-camera lookup, predictor.py:239-252)
+    tmp_dir = (
+        FLAGS.tmp_dir if FLAGS.split == "train"
+        else FLAGS.tmp_dir + "_" + FLAGS.split
     )
     n_frames, s2v, spv = tig.explode_to_frames(
-        video_ds, FLAGS.tmp_dir + "_test", FLAGS.category, FLAGS.num_training_frames
+        video_ds, tmp_dir, FLAGS.category, FLAGS.num_training_frames
     )
     dataset = tig.MultiFrameDataset(
-        tmp_dir=FLAGS.tmp_dir + "_test", category=FLAGS.category,
+        tmp_dir=tmp_dir, category=FLAGS.category,
         sample_to_vid=s2v, samples_per_vid=spv, num_frames=FLAGS.num_frames,
         img_size=FLAGS.img_size, mirror=False, transforms=False,
         sequential=True, tight_bboxes=FLAGS.tight_bboxes,

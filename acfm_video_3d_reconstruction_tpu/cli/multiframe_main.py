@@ -104,6 +104,11 @@ flags.DEFINE_integer("save_epoch_freq", 50, "save every N epochs")
 flags.DEFINE_integer("save_latest_freq", 0, "mid-epoch latest saves (steps)")
 flags.DEFINE_integer("display_freq", 0, "visualization panels every N steps")
 flags.DEFINE_boolean("tight_bboxes", False, "use mask-derived bboxes")
+flags.DEFINE_boolean(
+    "mirror", True,
+    "random horizontal mirror augmentation (disable for annotation schemas "
+    "without a left/right kp permutation, e.g. synthetic parity data)",
+)
 # pretrained weights (reference loads all three: mesh_net.py:87-95,
 # loss_utils.py:361-363, multiframe/main.py:203-214)
 flags.DEFINE_string("pretrained_resnet18", "", "torchvision resnet18 .pth")
@@ -131,7 +136,8 @@ _FLAG_NAMES = [
     "boundaries_reg_wt", "edt_reg_wt", "bdt_reg_wt", "rigid_wt",
     "triangle_reg_wt", "tex_loss_wt", "cam_loss_wt", "deform_reg_wt",
     "deform_loss_wt", "handle_deform_reg_wt", "log_every", "save_epoch_freq",
-    "save_latest_freq", "display_freq", "tight_bboxes", "pretrained_resnet18",
+    "save_latest_freq", "display_freq", "tight_bboxes", "mirror",
+    "pretrained_resnet18",
     "lpips_alexnet", "flow_checkpoint", "flow_random_init",
     "expand_ytvis", "expand_pascal", "root_dir_yt", "root_dir_coco",
     "pascal_img_dir", "pascal_anno_path", "padding_frac", "v2_crop",
@@ -358,7 +364,7 @@ def train(o: dict):
         padding_frac=o["padding_frac"],
         remove_neck_kp=is_tigdog,
     )
-    dataset = tig.MultiFrameDataset(mirror=True, transforms=True, **mk)
+    dataset = tig.MultiFrameDataset(mirror=o["mirror"], transforms=True, **mk)
     # no-aug loader for the camera-embedding init pass; TigDog uses
     # padding_frac=0 here (reference multiframe/main.py:283-290)
     mk_noag = dict(mk, padding_frac=0.0 if is_tigdog else o["padding_frac"])

@@ -34,11 +34,15 @@ class SingleImageDataset:
     """Child classes define: img_dir, anno, anno_sfm, kp_perm, num_imgs."""
 
     def __init__(self, img_size=256, padding_frac=0.05, jitter_frac=0.05,
-                 split="train", seed=0):
+                 split="train", seed=0, mirror=True):
         self.img_size = img_size
         self.padding_frac = padding_frac
         self.jitter_frac = jitter_frac
         self.split = split
+        # mirror augmentation presumes a left/right-symmetric kp layout
+        # (kp_perm) and a symmetric template; synthetic annos with arbitrary
+        # kp anchors disable it (tools/mini_cub_parity.py)
+        self.mirror = mirror
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -92,7 +96,7 @@ class SingleImageDataset:
         trans = trans * s
 
         # random mirror
-        if self.split == "train" and self.rng.random() > 0.5:
+        if self.split == "train" and self.mirror and self.rng.random() > 0.5:
             img = img[:, ::-1].copy()
             mask = mask[:, ::-1].copy()
             new_x = img.shape[1] - kp[:, 0] - 1

@@ -27,10 +27,11 @@ class CUBDataset(SingleImageDataset):
         padding_frac: float = 0.05,
         jitter_frac: float = 0.05,
         seed: int = 0,
+        mirror: bool = True,
     ):
         super().__init__(
             img_size=img_size, padding_frac=padding_frac, jitter_frac=jitter_frac,
-            split=split, seed=seed,
+            split=split, seed=seed, mirror=mirror,
         )
         self.img_dir = osp.join(cub_dir, "images")
         anno_path = osp.join(cache_dir, "data", f"{split}_cub_cleaned.mat")

@@ -88,6 +88,26 @@ def run_steps(n_devices, mods, tx_full, tx_warm, state, batch, template):
     return state, wmetrics, metrics
 
 
+def test_smoke_warmup_step_on_8dev_mesh():
+    """Fast tier: one warmup step over the virtual 8-device mesh — loss
+    finite and the frame-row sharding of the multiplex preserved by jit.
+    The full single- vs multi-device numerical-agreement matrix (train
+    step + TTO) is the slow-marked tests below (SPMD compiles of the full
+    train step take minutes on this 1-core host)."""
+    from jax.sharding import PartitionSpec as P
+
+    assert len(jax.devices()) >= NDEV, "conftest must provide 8 CPU devices"
+    mods, tx_full, tx_warm, state, batch, template = tiny_setup()
+    mesh = pmesh.make_mesh(jax.devices()[:NDEV])
+    state = pmesh.shard_multiframe_state(mesh, state)
+    sbatch = pmesh.shard_batch(mesh, batch)
+    with mesh:
+        warm = mf.make_warmup_step(mods, tx_warm, face_chunk=template.num_faces)
+        state, wmetrics = warm(state, sbatch)
+    assert np.isfinite(float(wmetrics["warmup_loss"]))
+    assert state.multiplex.cams.sharding.spec == P(None, "data")
+
+
 @pytest.fixture(scope="module")
 def runs():
     assert len(jax.devices()) >= NDEV, "conftest must provide 8 CPU devices"
@@ -97,6 +117,7 @@ def runs():
     return single, multi
 
 
+@pytest.mark.slow
 def test_multichip_matches_single_device(runs):
     (s1, w1, m1), (s8, w8, m8) = runs
     assert np.isfinite(float(m8["total_loss"]))
@@ -121,6 +142,7 @@ def test_multichip_matches_single_device(runs):
     )
 
 
+@pytest.mark.slow
 def test_multiplex_stays_frame_row_sharded(runs):
     """jit must preserve the frame-row sharding of the multiplex tables
     across steps (no silent re-replication of the N-row state)."""
@@ -138,6 +160,7 @@ def test_multiplex_stays_frame_row_sharded(runs):
     assert names(s8.multiplex.deform.sharding) == P("data")
 
 
+@pytest.mark.slow
 def test_tto_refine_on_mesh(runs):
     """TTO refine (eval path) executes over the 8-device mesh and agrees
     with the single-device refine."""

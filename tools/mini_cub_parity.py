@@ -66,7 +66,7 @@ def generate(root, template):
     cams[:, 1:3] = rng.uniform(-0.15, 0.15, (N, 2))
     cams[:, 3] = np.cos(ang / 2)
     cams[:, 5] = np.sin(ang / 2)
-    deform = (rng.normal(size=(N, NUM_LBS, 3)) * 0.05).astype(np.float32)
+    deform = (rng.normal(size=(N, NUM_LBS, 3)) * 0.1).astype(np.float32)
 
     A = lbs_from_logits(jnp.asarray(template.lbs_logits))
     pred_v = screened_poisson_solve(
@@ -179,9 +179,20 @@ def main():
         ),
     )
     mods, tx, state = monocular.build(cfg, template, jax.random.PRNGKey(0))
+    # Evaluation projects through the PREDICTED camera, faithful to the
+    # reference evaluator (monocular/nnutils/predictor.py:110-159 always
+    # uses cam_pred) — training may use GT pose, evaluation never does.
+    eval_cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, use_gtpose=False)
+    )
+    eval_mods = dataclasses.replace(mods, cfg=eval_cfg)
 
+    # mirror=False: the synthetic kp anchors are arbitrary vertices with no
+    # left/right-symmetric layout, so the reference's mirror kp-perm cannot
+    # apply — mirrored samples would carry unlearnable kp labels
     train_ds = CUBDataset(args.root, osp.join(args.root, "cache"),
-                          split="train", img_size=IMG, jitter_frac=0.0)
+                          split="train", img_size=IMG, jitter_frac=0.0,
+                          mirror=False)
     # deterministic copy of the train split for fit evaluation
     train_eval_ds = CUBDataset(args.root, osp.join(args.root, "cache"),
                                split="train", img_size=IMG, jitter_frac=0.0)
@@ -196,7 +207,7 @@ def main():
     )
 
     step = monocular.make_train_step(mods, tx)
-    ev = monocular.make_eval_step(mods)
+    ev = monocular.make_eval_step(eval_mods)
 
     def evaluate(state, which=test_loader):
         stats = em.BenchStats()
@@ -236,8 +247,10 @@ def main():
         "reference's exact .mat/images schema (real CUB images are not "
         "available in this environment): CUBDataset -> train "
         f"{args.steps} steps (batch 8, {IMG}^2, bf16) -> held-out-split "
-        "evaluation per monocular/evaluate.py:95-104.\n\n"
-        "| metric | before | after | reference (real CUB, 64 handles) |\n"
+        "evaluation per monocular/evaluate.py:95-104 through the PREDICTED "
+        "camera (the reference evaluator never uses GT pose, "
+        "monocular/nnutils/predictor.py:110-159).\n\n"
+        "| metric | random init | trained | reference (real CUB, 64 handles) |\n"
         "|---|---|---|---|\n"
         f"| mean mask IoU | {before['mean_iou']:.3f} | {after['mean_iou']:.3f} | (printed, unpublished) |\n"
         f"| PCK@0.1 | {before['pck_0.1']:.3f} | {after['pck_0.1']:.3f} | 0.915 |\n"

@@ -30,7 +30,7 @@ import numpy as np
 
 RAW = 144          # raw frame size written into the pkls
 IMG = 128          # training/eval crop size
-N_VIDEOS = 30      # > 14 so the deterministic split keeps 14 test videos
+N_VIDEOS = 44      # > 14 so the deterministic split keeps 14 test videos
 T_RAW = 6          # frames per video
 NUM_KPS = 8
 NUM_LBS = 12
@@ -155,7 +155,7 @@ def run_eval(o, extra):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--root", type=str, default="/tmp/mini_tigdog")
     ap.add_argument("--out", type=str, default="DEMO_RESULTS.md")
     ap.add_argument("--num_optim_iter", type=int, default=60)
@@ -194,6 +194,9 @@ def main():
         mask_loss_wt=5.0,
         warmup=True,
         init_camera_emb=True,
+        # synthetic kp anchors have no left/right-symmetric layout; the
+        # mirror kp-perm cannot apply (see --mirror flag docstring)
+        mirror=False,
         log_every=20,
         save_epoch_freq=max(args.epochs, 1),
         save_latest_freq=200,
@@ -213,6 +216,11 @@ def main():
         o, ["--optimize", "--num_optim_iter", str(args.num_optim_iter)]
     )
     print("after + TTO:", after_tto, flush=True)
+    # train-split fit through the argmax multiplex camera (the reference
+    # benchmark's train-split mode, predictor.py:239-252) — isolates multiplex
+    # + shape convergence from camera-regressor generalization
+    after_train = run_eval(o, ["--split", "train", "--use_argmax_camera"])
+    print("train split (argmax multiplex):", after_train, flush=True)
 
     table = (
         "\n## Mini-TigDog multiframe parity run (tools/mini_tigdog_parity.py)\n\n"
@@ -224,14 +232,14 @@ def main():
         f"frames, {IMG}^2) -> benchmark evaluation per "
         "multiframe/benchmark/evaluate.py:227-245 (frame-0 IoU, pixel PCK), "
         "with and without test-time optimization.\n\n"
-        "| metric | random init | trained | trained + TTO |\n"
-        "|---|---|---|---|\n"
+        "| metric | random init | trained | trained + TTO | train split (argmax mpx) |\n"
+        "|---|---|---|---|---|\n"
         f"| mean mask IoU | {before['mean_iou']:.3f} | {after['mean_iou']:.3f} "
-        f"| {after_tto['mean_iou']:.3f} |\n"
+        f"| {after_tto['mean_iou']:.3f} | {after_train['mean_iou']:.3f} |\n"
         f"| PCK@0.1 | {before['pck_0.1']:.3f} | {after['pck_0.1']:.3f} "
-        f"| {after_tto['pck_0.1']:.3f} |\n"
+        f"| {after_tto['pck_0.1']:.3f} | {after_train['pck_0.1']:.3f} |\n"
         f"| PCK@0.15 | {before['pck_0.15']:.3f} | {after['pck_0.15']:.3f} "
-        f"| {after_tto['pck_0.15']:.3f} |\n\n"
+        f"| {after_tto['pck_0.15']:.3f} | {after_train['pck_0.15']:.3f} |\n\n"
         f"train wall-clock {dt:.1f}s. The reference publishes no multiframe "
         "IoU/PCK numbers in-repo (its benchmark prints them per run, "
         "monocular CUB PCK@0.1=0.915 is the only published metric); this run "
