@@ -276,15 +276,16 @@ class MultiFrameDataset:
                     & (kp[:, 0] < img.shape[1]) & (kp[:, 1] < img.shape[0])
                 )
                 kp[:, 2] = (vis & inb).astype(kp.dtype)
-            pose[1] -= bbox[0]
-            pose[2] -= bbox[1]
+            # sfm_pose is NOT transported through crop/scale: the reference
+            # multiframe loader passes sfm_poses through crop_image/
+            # scale_image/normalize_kp untouched (tigdog_mf_of.py:245-299) —
+            # the pkl cameras are already final [-1,1]-unit weak-perspective
+            # cams for the standard bbox crop. Only mirror flips them below.
             h, w = img.shape[:2]
             sc = self.img_size / float(max(h, w))
             img, _ = image_utils.resize_img(img, sc)
             mask, _ = image_utils.resize_img(mask, sc)
             kp[vis, :2] = np.round(kp[vis, :2] * sc)
-            pose[0] *= sc
-            pose[1:3] *= sc
             out_i.append(img)
             out_m.append(mask > 0.5)
             out_k.append(kp)

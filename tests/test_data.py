@@ -155,6 +155,43 @@ class TestTigDogPipeline:
         s = mfds[0]
         np.testing.assert_array_equal(s["frames_idx"], [0, 1])
 
+    def test_sfm_pose_passes_through_crop_untouched(self, tmp_path):
+        """Reference parity: tigdog_mf_of.py:245-299 never transports
+        sfm_poses through crop/scale/normalize — pkl cameras are final
+        [-1,1]-unit cams and must reach the batch unchanged (mirror off)."""
+        root = self.make_videos(tmp_path)
+        ds = tig.VideoPklDataset(root, "horse", split="all")
+        n, s2v, spv = tig.explode_to_frames(ds, str(tmp_path / "c3"), "horse")
+        mfds = tig.MultiFrameDataset(
+            str(tmp_path / "c3"), "horse", s2v, spv, num_frames=2,
+            img_size=64, mirror=False, transforms=False, sequential=True,
+        )
+        s = mfds[0]
+        np.testing.assert_allclose(
+            s["sfm_pose"],
+            np.tile(np.asarray([1.0, 24.0, 24.0, 1, 0, 0, 0]), (2, 1)),
+            atol=1e-6,
+        )
+
+    def test_sfm_pose_mirror_flips_tx_and_quat(self, tmp_path):
+        """Mirror is the only sfm transform: tx -> -tx, quat -> DqD with
+        D=diag(-1,1,1) (tigdog_mf_of.py:232-241)."""
+        root = self.make_videos(tmp_path)
+        ds = tig.VideoPklDataset(root, "horse", split="all")
+        n, s2v, spv = tig.explode_to_frames(ds, str(tmp_path / "c4"), "horse")
+        mfds = tig.MultiFrameDataset(
+            str(tmp_path / "c4"), "horse", s2v, spv, num_frames=2,
+            img_size=64, mirror=True, transforms=False, sequential=True, seed=0,
+        )
+        for i in range(20):  # find a mirrored draw
+            s = mfds[0]
+            if s["mirror_flag"][0]:
+                break
+        assert s["mirror_flag"][0] == 1
+        np.testing.assert_allclose(s["sfm_pose"][:, 0], 1.0, atol=1e-6)
+        np.testing.assert_allclose(s["sfm_pose"][:, 1], -24.0, atol=1e-6)
+        np.testing.assert_allclose(s["sfm_pose"][:, 2], 24.0, atol=1e-6)
+
     def test_split_determinism(self):
         t1, tr1 = tig.tigdog_test_split(30)
         t2, tr2 = tig.tigdog_test_split(30)

@@ -30,7 +30,7 @@ import numpy as np
 
 RAW = 144          # raw frame size written into the pkls
 IMG = 128          # training/eval crop size
-N_VIDEOS = 44      # > 14 so the deterministic split keeps 14 test videos
+N_VIDEOS = 60      # > 14 so the deterministic split keeps 14 test videos
 T_RAW = 6          # frames per video
 NUM_KPS = 8
 NUM_LBS = 12
@@ -38,9 +38,21 @@ ANCHORS = np.random.default_rng(11).choice(642, NUM_KPS, replace=False)
 
 
 def generate(root, template):
-    """Render synthetic clips into the TigDog pkl schema."""
+    """Render synthetic clips into the TigDog pkl schema.
+
+    Matches the reference's data contract (tigdog_mf_of.py:245-299):
+    `sfm_poses` are final [-1,1]-unit weak-perspective cameras expressed in
+    the standard square-bbox crop frame (the loader passes them through
+    crop/scale untouched), while `landmarks`/`bboxes` are raw-frame pixels.
+    Frames are Lambertian-shaded (per-face normals) so camera azimuth is
+    identifiable from appearance — a flat-colored blob would leave the
+    camera regressor with nothing to learn pose from.
+    """
+    import shutil
+
     import jax.numpy as jnp
 
+    from acfm_video_3d_reconstruction_tpu.data import image_utils
     from acfm_video_3d_reconstruction_tpu.deform.solve import (
         lbs_from_logits, screened_poisson_solve,
     )
@@ -48,6 +60,8 @@ def generate(root, template):
     from acfm_video_3d_reconstruction_tpu.ops import rasterizer as ras
 
     rng = np.random.default_rng(7)
+    if osp.isdir(root):
+        shutil.rmtree(root)
     cat_dir = osp.join(root, "horse")
     os.makedirs(cat_dir, exist_ok=True)
 
@@ -82,11 +96,29 @@ def generate(root, template):
         mask, _ = ras.soft_silhouette(proj, faces, RAW, face_chunk=fc)
         mask = (np.asarray(mask) > 0.5).astype(np.float32)
 
-        # textured-ish frames: mask-shaded color + noise background
+        # Lambertian-shaded frames: per-face camera-space normals dotted
+        # with a fixed light, sampled per pixel through the hard z-buffer,
+        # over a noise background. Shading varies with azimuth, so the
+        # camera regressor can learn pose from appearance.
+        frag = ras.hard_rasterize(proj, faces, RAW, face_chunk=fc)
+        tri = proj[:, faces]                      # (T, F, 3, 3) cam space
+        n = jnp.cross(tri[..., 1, :] - tri[..., 0, :],
+                      tri[..., 2, :] - tri[..., 0, :])
+        n = n * jnp.where(n[..., 2:] < 0, -1.0, 1.0)   # face the camera
+        n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-8)
+        light = jnp.asarray([0.45, -0.35, 0.82])
+        shade_f = 0.35 + 0.65 * jnp.clip(n @ light, 0.0, 1.0)  # (T, F)
+        covered = frag.pix_to_face >= 0
+        shade_px = jnp.take_along_axis(
+            shade_f, jnp.where(covered, frag.pix_to_face, 0), axis=1
+        )
+        shade_px = jnp.where(covered, shade_px, 0.0)
+        shade = np.asarray(shade_px).reshape(T_RAW, RAW, RAW)
+
         video = rng.uniform(0.0, 0.15, (T_RAW, RAW, RAW, 3)).astype(np.float32)
-        shade = np.asarray(proj[..., 2])  # depth-ish
         color = rng.uniform(0.4, 0.9, 3).astype(np.float32)
-        video += mask[..., None] * color[None, None, None]
+        lit = mask * np.maximum(shade, 0.35 * mask)
+        video = video * (1 - mask[..., None]) + lit[..., None] * color
         video = np.clip(video, 0, 1)
 
         # landmarks: anchor vertices projected to RAW pixel coords
@@ -104,6 +136,17 @@ def generate(root, template):
         bbox = np.asarray(
             [xs.min() - 4, ys.min() - 4, xs.max() + 4, ys.max() + 4], np.float64
         )
+        # Express the cameras in the square-crop frame the loader will
+        # produce (sfm_poses pass through the loader untouched, matching
+        # tigdog_mf_of.py:245-299): raw-NDC -> crop-NDC for the
+        # square_bbox at (x0, y0) with side S.
+        sq = image_utils.square_bbox(bbox)
+        x0, y0, S = sq[0], sq[1], sq[2] - sq[0] + 1
+        crop_cams = cams.copy()
+        r = (RAW - 1) / S
+        crop_cams[:, 0] = cams[:, 0] * r
+        crop_cams[:, 1] = (cams[:, 1] + 1.0) * r - 2.0 * x0 / S - 1.0
+        crop_cams[:, 2] = (cams[:, 2] + 1.0) * r - 2.0 * y0 / S - 1.0
         with open(osp.join(cat_dir, f"video_{vid:03d}.pkl"), "wb") as f:
             pickle.dump(
                 {
@@ -111,7 +154,7 @@ def generate(root, template):
                     "segmentations": mask,
                     "bboxes": np.tile(bbox, (T_RAW, 1)),
                     "landmarks": landmarks,
-                    "sfm_poses": cams.astype(np.float64),
+                    "sfm_poses": crop_cams.astype(np.float64),
                 },
                 f,
             )
@@ -155,7 +198,7 @@ def run_eval(o, extra):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--root", type=str, default="/tmp/mini_tigdog")
     ap.add_argument("--out", type=str, default="DEMO_RESULTS.md")
     ap.add_argument("--num_optim_iter", type=int, default=60)
