@@ -79,6 +79,27 @@ def generate(root, template):
     mask, _ = ras.soft_silhouette(proj, jnp.asarray(template.faces), RAW,
                                   face_chunk=fc)
     masks = np.asarray(mask > 0.5, np.float32)
+
+    # Lambertian shading from per-face camera-space normals so azimuth is
+    # identifiable from appearance (the predicted-camera eval needs the
+    # encoder to be able to learn pose; a pose-invariant gradient texture
+    # leaves only the silhouette, which is rotation-ambiguous).
+    faces_j = jnp.asarray(template.faces)
+    frag = ras.hard_rasterize(proj, faces_j, RAW, face_chunk=fc)
+    tri = proj[:, faces_j]
+    nrm = jnp.cross(tri[..., 1, :] - tri[..., 0, :],
+                    tri[..., 2, :] - tri[..., 0, :])
+    nrm = nrm * jnp.where(nrm[..., 2:] < 0, -1.0, 1.0)
+    nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-8)
+    light = jnp.asarray([0.45, -0.35, 0.82])
+    shade_f = 0.35 + 0.65 * jnp.clip(nrm @ light, 0.0, 1.0)
+    cov = frag.pix_to_face >= 0
+    shade_px = jnp.take_along_axis(
+        shade_f, jnp.where(cov, frag.pix_to_face, 0), axis=1
+    )
+    shades = np.asarray(
+        jnp.where(cov, shade_px, 0.0)
+    ).reshape(-1, RAW, RAW).astype(np.float32)
     kp2d = np.asarray(
         cam_utils.project_points(pred_v[:, kp_verts], jcams)
     )  # [-1,1] of the raw frame
@@ -98,8 +119,10 @@ def generate(root, template):
         sfm = np.zeros((images.shape[0],), sdt)
         for j, i in enumerate(splits[split]):
             m = masks[i]
+            sh = shades[i]
             img = np.stack(
-                [m * gx[None, :], m * gx[:, None], m * 0.5], axis=-1
+                [sh * 0.9, sh * 0.55 + 0.25 * m * gx[None, :], m * 0.5],
+                axis=-1,
             )
             rel = f"{split}_{j:03d}.png"
             cv2.imwrite(
