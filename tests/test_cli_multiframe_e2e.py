@@ -139,6 +139,7 @@ def cheap_flow(monkeypatch):
     return fake_make_flow_fn
 
 
+@pytest.mark.heavy
 def test_multiframe_cli_end_to_end_with_flow(tmp_path, pkl_tree, cheap_flow):
     """The full CLI pipeline runs 2+ steps with of in the loss; of_loss is
     nonzero and the per-batch total decreases when re-visiting data."""
@@ -170,6 +171,7 @@ def test_multiframe_cli_real_flow_net(tmp_path, pkl_tree):
     assert of and all(np.isfinite(of))
 
 
+@pytest.mark.heavy
 def test_multiframe_cli_warmup_and_gtpose(tmp_path, pkl_tree, cheap_flow):
     """Pose warmup phase runs and the use_gtpose projection path compiles
     and trains (k forced to 1)."""
@@ -193,6 +195,7 @@ def test_missing_flow_checkpoint_is_a_clear_error(tmp_path, pkl_tree, cheap_flow
         cli.train(o)
 
 
+@pytest.mark.heavy
 def test_load_warmup_resumes_and_skips_phases(tmp_path, pkl_tree, cheap_flow):
     """--load_warmup restores the warmup checkpoint and skips the warmup
     phases (reference --load_warmup, train_utils.py:205-232 guards)."""

@@ -55,6 +55,7 @@ class TestCheckpoint:
 
 
 class TestTTO:
+    @pytest.mark.heavy
     def test_tto_reduces_loss(self):
         """TTO on delta_v_res should reduce the silhouette loss vs a shifted
         GT mask rendered from a known deformed template."""

@@ -88,6 +88,7 @@ class TestWarpResample:
 
 
 class TestMaskFlownet:
+    @pytest.mark.heavy
     def test_stage1_shapes(self):
         params = mfn.init_params(jax.random.PRNGKey(0))
         im = jnp.zeros((1, 64, 128, 3))
@@ -99,6 +100,7 @@ class TestMaskFlownet:
         c1, c2, flows, c30, c40 = srcs
         assert c30.shape == (1, 64, 128, 4) and c40.shape == (1, 64, 128, 4)
 
+    @pytest.mark.heavy
     def test_full_net_shapes(self):
         params = mfn.init_params(jax.random.PRNGKey(0))
         im = jnp.asarray(
@@ -108,6 +110,7 @@ class TestMaskFlownet:
         assert preds[-1].shape == (1, 16, 32, 2)
         assert np.all(np.isfinite(np.asarray(preds[-1])))
 
+    @pytest.mark.heavy
     def test_identical_frames_small_flow(self):
         """Same image twice with a well-formed net -> finite, modest flow."""
         params = mfn.init_params(jax.random.PRNGKey(1))

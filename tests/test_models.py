@@ -50,6 +50,7 @@ class TestTexture:
     def test_atlas_size_formula(self):
         assert atlas_image_size(1280, 6) == (128, 256)
 
+    @pytest.mark.heavy
     def test_decoder_shapes(self, template):
         uv = jnp.asarray(template.uv_sampler)
         net = TexturePredictorUV(uv_sampler=uv, num_sym_faces=-1)

@@ -88,6 +88,7 @@ def run_steps(n_devices, mods, tx_full, tx_warm, state, batch, template):
     return state, wmetrics, metrics
 
 
+@pytest.mark.heavy
 def test_smoke_warmup_step_on_8dev_mesh():
     """Fast tier: one warmup step over the virtual 8-device mesh — loss
     finite and the frame-row sharding of the multiplex preserved by jit.

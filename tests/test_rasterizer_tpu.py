@@ -56,6 +56,7 @@ class TestForwardParity:
         )
 
 
+@pytest.mark.heavy
 class TestBinnedAtlas:
     def test_matches_flat_gather(self, scene):
         proj, faces = scene
@@ -102,6 +103,7 @@ class TestBinnedAtlas:
 
 
 class TestBackwardParity:
+    @pytest.mark.heavy
     def test_grad_matches_reference(self, scene):
         """Grad parity at a well-conditioned sigma.
 
@@ -144,6 +146,7 @@ class TestBackwardParity:
         rel = np.linalg.norm(g_tpu - g_ref) / np.linalg.norm(g_ref)
         assert rel < 0.05, rel
 
+    @pytest.mark.heavy
     def test_grad_exact_single_tile(self):
         """Exact grad parity when numerics are order-identical (1 tile)."""
         v, f = icosphere.icosahedron()
@@ -254,6 +257,7 @@ class TestBinOverflow:
                 assert lay.block == (8, 128), lay
 
 
+@pytest.mark.heavy
 class TestLargeImage:
     def test_golden_and_grad_512(self):
         """Forward + gradient parity at 512^2 (interpret mode, small mesh)
@@ -296,6 +300,7 @@ class TestLargeImage:
         )
 
 
+@pytest.mark.heavy
 class TestFusedSilhouetteTexture:
     def test_matches_separate_calls(self, scene):
         """Fused soft+texture == soft_silhouette_vis + atlas sampling from

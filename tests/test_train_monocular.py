@@ -51,6 +51,7 @@ def fresh(state):
 
 
 class TestMonocularTraining:
+    @pytest.mark.heavy
     def test_step_runs_and_decreases_loss(self, setup):
         mods, tx, state, ds = setup
         state = fresh(state)
@@ -63,6 +64,7 @@ class TestMonocularTraining:
         assert np.all(np.isfinite(losses))
         assert losses[-1] < losses[0], losses
 
+    @pytest.mark.heavy
     def test_metrics_keys(self, setup):
         mods, tx, state, ds = setup
         step = monocular.make_train_step(mods, tx, face_chunk=80)

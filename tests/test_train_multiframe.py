@@ -105,6 +105,7 @@ class TestMultiframeTraining:
         # soft-min wrote genuine (non-uniform) weights, not the init fill
         assert p.std() > 1e-4, p
 
+    @pytest.mark.heavy
     def test_main_step_all_guesses(self, setup):
         mods, tx_full, tx_warm, state, ds = setup
         step = mf.make_train_step(mods, tx_full, k=G, drop_deform=False, face_chunk=80)
@@ -114,6 +115,7 @@ class TestMultiframeTraining:
                     "rigid_loss", "tri_loss", "cycle_loss"):
             assert key in metrics and np.isfinite(float(metrics[key])), key
 
+    @pytest.mark.heavy
     def test_main_step_topk(self, setup):
         mods, tx_full, tx_warm, state, ds = setup
         step = mf.make_train_step(mods, tx_full, k=2, drop_deform=True, face_chunk=80)

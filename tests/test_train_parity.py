@@ -116,6 +116,7 @@ def test_az_el_bias_chain_spreads_initial_rotations():
 # use_gtpose projection branch (VERDICT #4)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.heavy
 def test_use_gtpose_projects_with_gt_cameras(ds):
     template, data = ds
     cfg = base_cfg(use_gtpose=True)
@@ -156,6 +157,7 @@ def test_finetune_camera_flips_gtpose_at_30():
 # kp loss in pose warmup (VERDICT #5)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.heavy
 def test_warmup_includes_kp_loss_when_weighted(ds):
     template, data = ds
     cfg = base_cfg()

@@ -95,6 +95,7 @@ if __name__ == "__main__":
 
 
 class TestTrainingVisPanels:
+    @pytest.mark.heavy
     def test_multiframe_vis_fn_writes_png(self, tmp_path):
         """display_freq panels: the driver's vis hook writes PNG files
         (visdom replacement, reference multiframe/main.py:775-855)."""
