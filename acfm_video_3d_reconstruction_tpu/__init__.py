@@ -22,3 +22,15 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("ACFM_FORCE_CPU"):
+    # The hosted TPU plugin rewrites jax_platforms to "axon,cpu" at import
+    # time (overriding JAX_PLATFORMS) and backend init HANGS when the TPU
+    # tunnel is down — so CPU-only runs (tests, smoke runs of the parity
+    # tools, subprocess CLIs) need an override that wins after plugin
+    # import. jax.config.update before first backend use is the only hook.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")

@@ -167,9 +167,18 @@ def main():
     ap.add_argument("--root", type=str, default="/tmp/mini_cub")
     ap.add_argument("--out", type=str, default="DEMO_RESULTS.md")
     ap.add_argument("--append", action="store_true", default=True)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the hosted TPU plugin "
+                         "rewrites jax_platforms to 'axon,cpu' and hangs "
+                         "when the tunnel is down; JAX_PLATFORMS alone "
+                         "cannot override it)")
     args = ap.parse_args()
 
+    if args.cpu:
+        os.environ["ACFM_FORCE_CPU"] = "1"
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from acfm_video_3d_reconstruction_tpu import config as cfg_lib

@@ -202,7 +202,14 @@ def main():
     ap.add_argument("--root", type=str, default="/tmp/mini_tigdog")
     ap.add_argument("--out", type=str, default="DEMO_RESULTS.md")
     ap.add_argument("--num_optim_iter", type=int, default=60)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (sets ACFM_FORCE_CPU for "
+                         "this process and the evaluate-CLI subprocesses; "
+                         "the hosted TPU plugin ignores JAX_PLATFORMS and "
+                         "hangs when the tunnel is down)")
     args = ap.parse_args()
+    if args.cpu:
+        os.environ["ACFM_FORCE_CPU"] = "1"
 
     from acfm_video_3d_reconstruction_tpu.cli import multiframe_main as cli
     from acfm_video_3d_reconstruction_tpu.models import build_template
