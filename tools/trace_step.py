@@ -61,7 +61,16 @@ def main():
     # parse the xplane
     paths = sorted(glob.glob(f"{TRACE_DIR}/**/*.xplane.pb", recursive=True))
     print("xplane:", paths[-1])
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    try:
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
+    except ImportError:
+        # the plugin's protobufs aren't importable in this env; fall back
+        # to the dependency-free parser (same output format)
+        import subprocess
+
+        sys.exit(subprocess.call(
+            [sys.executable, "tools/xplane_parse.py", paths[-1]]
+        ))
 
     xs = xplane_pb2.XSpace()
     xs.ParseFromString(open(paths[-1], "rb").read())
