@@ -136,3 +136,33 @@ class TestTrainingVisPanels:
 
         files = os.listdir(tmp_path / "vis")
         assert files == ["step_0000007.png"]
+
+
+class TestPlotMetrics:
+    def test_renders_curves_png(self, tmp_path):
+        """tools/plot_metrics.py turns a run's metrics.jsonl into a PNG
+        grid (headless analog of the reference's visdom scalar plots,
+        utils/visualizer.py:27-119). Tolerates a torn tail line from a
+        live run and non-numeric fields."""
+        import json
+        import subprocess
+        import sys
+
+        rows = [
+            {"step": s, "epoch": 0, "total_loss": 1.0 / (s + 1),
+             "mask_loss": 0.5, "phase": "main"}
+            for s in range(12)
+        ]
+        p = tmp_path / "metrics.jsonl"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+            f.write('{"step": 12, "total_l')  # torn tail write
+        out = tmp_path / "curves.png"
+        r = subprocess.run(
+            [sys.executable, "tools/plot_metrics.py", str(p),
+             "--out", str(out), "--smooth", "3"],
+            capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr
+        assert out.exists() and out.stat().st_size > 1000
