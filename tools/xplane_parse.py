@@ -45,13 +45,15 @@ def _fields(buf):
 
 
 def parse_event(buf):
-    md, dur = 0, 0
+    md, off, dur = 0, 0, 0
     for fno, wt, v in _fields(buf):
         if fno == 1:
             md = v
+        elif fno == 2:
+            off = v
         elif fno == 3:
             dur = v
-    return md, dur
+    return md, off, dur
 
 
 def parse_line(buf):
@@ -114,7 +116,7 @@ def op_totals(path, plane_filter=("TPU", "/device")):
             continue
         totals = {}
         for line_name, events in lines:
-            for md, dur in events:
+            for md, off, dur in events:
                 op = meta.get(md, str(md))
                 t, c = totals.get(op, (0, 0))
                 totals[op] = (t + dur, c + 1)
@@ -122,14 +124,59 @@ def op_totals(path, plane_filter=("TPU", "/device")):
     return out
 
 
+def line_totals(path, plane_filter=("TPU", "/device")):
+    """Per-line (hardware queue) busy/span time on device planes.
+
+    Device planes put each execution stream on its own XLine (compute
+    cores, DMA queues, host-transfer engines); summing per line separates
+    overlapped async DMA from the serial compute path, which a flat op
+    aggregation conflates. busy = Σ event durations within the line;
+    span = last event end − first event start (busy ≪ span ⇒ the queue
+    idles; a DMA line with busy ≈ compute-line busy is a candidate
+    critical path).
+
+    Returns {plane: [(line_name, busy_ps, span_ps, n_events, top_ops)]}
+    with top_ops the line's 3 largest ops by total duration.
+    """
+    out = {}
+    for name, lines, meta in parse_xspace(path):
+        if not any(f in name for f in plane_filter):
+            continue
+        rows = []
+        for line_name, events in lines:
+            if not events:
+                continue
+            busy = sum(d for _, _, d in events)
+            start = min(o for _, o, _ in events)
+            end = max(o + d for _, o, d in events)
+            per_op = {}
+            for md, _, d in events:
+                op = meta.get(md, str(md))
+                per_op[op] = per_op.get(op, 0) + d
+            top = sorted(per_op.items(), key=lambda kv: -kv[1])[:3]
+            rows.append((line_name, busy, end - start, len(events), top))
+        rows.sort(key=lambda r: -r[1])
+        out[name] = rows
+    return out
+
+
 if __name__ == "__main__":
     import sys
 
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    per_line = line_totals(sys.argv[1])
     for plane, totals in op_totals(sys.argv[1]).items():
         print("== plane:", plane)
+        print("-- per queue (busy ms/step | span ms/step | events):")
+        for ln, busy, span, n, top in per_line.get(plane, []):
+            tops = "; ".join(f"{op[:40]} {ps / 1e9 / steps:.2f}" for op, ps in top)
+            print(
+                f"  {busy / 1e9 / steps:8.3f} | {span / 1e9 / steps:8.3f} "
+                f"| x{n // steps:<4d} {ln[:28]:28s} top: {tops}"
+            )
+        print("-- per op (flat, overlapped queues conflated):")
         items = sorted(totals.items(), key=lambda kv: -kv[1][0])
         tot = sum(t for t, _ in totals.values())
         print(f"total accounted: {tot / 1e9 / steps:.2f} ms/step")
-        for op, (ps, c) in items[:50]:
+        for op, (ps, c) in items[:40]:
             print(f"{ps / 1e9 / steps:9.3f} ms/step x{c // steps:<5d} {op[:110]}")
