@@ -202,6 +202,14 @@ def main():
     ap.add_argument("--root", type=str, default="/tmp/mini_tigdog")
     ap.add_argument("--out", type=str, default="DEMO_RESULTS.md")
     ap.add_argument("--num_optim_iter", type=int, default=60)
+    ap.add_argument("--videos", type=int, default=0,
+                    help="override N_VIDEOS (>14 keeps the deterministic "
+                         "14-video test split; use ~24 for CPU-scale runs)")
+    ap.add_argument("--img", type=int, default=0,
+                    help="override the train/eval crop size (and scales the "
+                         "raw pkl frames with it; use 64 for CPU-scale runs)")
+    ap.add_argument("--guesses", type=int, default=4,
+                    help="camera hypotheses in the multiplex")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (sets ACFM_FORCE_CPU for "
                          "this process and the evaluate-CLI subprocesses; "
@@ -210,6 +218,12 @@ def main():
     args = ap.parse_args()
     if args.cpu:
         os.environ["ACFM_FORCE_CPU"] = "1"
+    global N_VIDEOS, IMG, RAW
+    if args.videos:
+        N_VIDEOS = args.videos
+    if args.img:
+        RAW = round(args.img * RAW / IMG)
+        IMG = args.img
 
     from acfm_video_3d_reconstruction_tpu.cli import multiframe_main as cli
     from acfm_video_3d_reconstruction_tpu.models import build_template
@@ -233,7 +247,7 @@ def main():
         subdivide=3,
         num_kps=NUM_KPS,
         num_frames=2,
-        num_guesses=4,
+        num_guesses=args.guesses,
         batch_size=4,
         num_epochs=args.epochs,
         num_training_frames=1000,
