@@ -26,8 +26,9 @@ import scipy.io as sio
 
 RAW = 192          # raw image size written to disk
 IMG = 128          # training crop size
-N_TRAIN = 128
+N_TRAIN = 128      # overridable via --n_train (generalization is data-bound)
 N_TEST = 24
+GEN_CHUNK = 64     # render the synthetic set in batches of this many frames
 NUM_KPS = 8
 NUM_LBS = 12
 # kp anchor vertices shared by generation and the template's vert2kp init
@@ -76,30 +77,36 @@ def generate(root, template):
     jcams = jnp.asarray(cams)
     proj = cam_utils.orthographic_proj_withz(pred_v, jcams, offset_z=5.0)
     fc = 40 if template.num_faces % 40 == 0 else template.num_faces
-    mask, _ = ras.soft_silhouette(proj, jnp.asarray(template.faces), RAW,
-                                  face_chunk=fc)
-    masks = np.asarray(mask > 0.5, np.float32)
+    faces_j = jnp.asarray(template.faces)
+    light = jnp.asarray([0.45, -0.35, 0.82])
 
+    # Rasterize in GEN_CHUNK-frame batches (a single call at N in the
+    # hundreds would hold N x RAW^2 x face_chunk intermediates at once).
     # Lambertian shading from per-face camera-space normals so azimuth is
     # identifiable from appearance (the predicted-camera eval needs the
     # encoder to be able to learn pose; a pose-invariant gradient texture
     # leaves only the silhouette, which is rotation-ambiguous).
-    faces_j = jnp.asarray(template.faces)
-    frag = ras.hard_rasterize(proj, faces_j, RAW, face_chunk=fc)
-    tri = proj[:, faces_j]
-    nrm = jnp.cross(tri[..., 1, :] - tri[..., 0, :],
-                    tri[..., 2, :] - tri[..., 0, :])
-    nrm = nrm * jnp.where(nrm[..., 2:] < 0, -1.0, 1.0)
-    nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-8)
-    light = jnp.asarray([0.45, -0.35, 0.82])
-    shade_f = 0.35 + 0.65 * jnp.clip(nrm @ light, 0.0, 1.0)
-    cov = frag.pix_to_face >= 0
-    shade_px = jnp.take_along_axis(
-        shade_f, jnp.where(cov, frag.pix_to_face, 0), axis=1
-    )
-    shades = np.asarray(
-        jnp.where(cov, shade_px, 0.0)
-    ).reshape(-1, RAW, RAW).astype(np.float32)
+    masks_l, shades_l = [], []
+    for c0 in range(0, N, GEN_CHUNK):
+        pj = proj[c0:c0 + GEN_CHUNK]
+        mask, _ = ras.soft_silhouette(pj, faces_j, RAW, face_chunk=fc)
+        masks_l.append(np.asarray(mask > 0.5, np.float32))
+        frag = ras.hard_rasterize(pj, faces_j, RAW, face_chunk=fc)
+        tri = pj[:, faces_j]
+        nrm = jnp.cross(tri[..., 1, :] - tri[..., 0, :],
+                        tri[..., 2, :] - tri[..., 0, :])
+        nrm = nrm * jnp.where(nrm[..., 2:] < 0, -1.0, 1.0)
+        nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-8)
+        shade_f = 0.35 + 0.65 * jnp.clip(nrm @ light, 0.0, 1.0)
+        cov = frag.pix_to_face >= 0
+        shade_px = jnp.take_along_axis(
+            shade_f, jnp.where(cov, frag.pix_to_face, 0), axis=1
+        )
+        shades_l.append(np.asarray(
+            jnp.where(cov, shade_px, 0.0)
+        ).reshape(-1, RAW, RAW).astype(np.float32))
+    masks = np.concatenate(masks_l, axis=0)
+    shades = np.concatenate(shades_l, axis=0)
     kp2d = np.asarray(
         cam_utils.project_points(pred_v[:, kp_verts], jcams)
     )  # [-1,1] of the raw frame
@@ -164,6 +171,10 @@ def generate(root, template):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--n_train", type=int, default=0,
+                    help="override N_TRAIN; test PCK through the predicted "
+                         "camera is generalization- (data-) bound, use >=512 "
+                         "for the recorded parity run")
     ap.add_argument("--root", type=str, default="/tmp/mini_cub")
     ap.add_argument("--out", type=str, default="DEMO_RESULTS.md")
     ap.add_argument("--append", action="store_true", default=True)
@@ -176,6 +187,9 @@ def main():
 
     if args.cpu:
         os.environ["ACFM_FORCE_CPU"] = "1"
+    global N_TRAIN
+    if args.n_train:
+        N_TRAIN = args.n_train
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -277,7 +291,8 @@ def main():
         "\n## Mini-CUB parity run (tools/mini_cub_parity.py)\n\n"
         "Monocular pipeline end-to-end on a re-generated mini-CUB in the "
         "reference's exact .mat/images schema (real CUB images are not "
-        "available in this environment): CUBDataset -> train "
+        "available in this environment): CUBDataset "
+        f"({N_TRAIN} train / {N_TEST} held-out images) -> train "
         f"{args.steps} steps (batch 8, {IMG}^2, bf16) -> held-out-split "
         "evaluation per monocular/evaluate.py:95-104 through the PREDICTED "
         "camera (the reference evaluator never uses GT pose, "
