@@ -34,6 +34,11 @@ flags.DEFINE_boolean("use_argmax_camera", False, "argmax multiplex camera (train
 flags.DEFINE_string("split", "test", "dataset split to evaluate")
 flags.DEFINE_string("results_dir", "cachedir/evaluation", "output dir")
 flags.DEFINE_integer("save_visuals", 0, "save PNG panels for first N batches")
+flags.DEFINE_boolean(
+    "save_mat", False,
+    "also save results.mat (scipy.io.savemat of the bench stats, drop-in "
+    "for the reference's sio.savemat: benchmark/evaluate.py:225)",
+)
 
 
 def main(_):
@@ -166,14 +171,7 @@ def main(_):
             print(f"batch {i}/{len(loader)}")
 
     stats.print_reference_format()
-    import os
-
-    os.makedirs(FLAGS.results_dir, exist_ok=True)
-    np.savez(
-        osp.join(FLAGS.results_dir, "results.npz"),
-        **{k: np.concatenate(v, 0) for k, v in
-           {"ious": stats.ious, "kp_errs": stats.kp_errs, "kp_vis": stats.kp_vis}.items()},
-    )
+    stats.save(FLAGS.results_dir, save_mat=FLAGS.save_mat)
 
 
 if __name__ == "__main__":

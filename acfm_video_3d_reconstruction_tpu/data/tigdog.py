@@ -37,10 +37,16 @@ def kp_perm_for(category: str) -> np.ndarray:
 
 
 def tigdog_test_split(num_videos: int, num_test: int = 14, seed: int = 42):
-    """Deterministic test video ids (tigdog_final.py:104-114)."""
+    """Deterministic (test_ids, train_ids) video split (tigdog_final.py:104-114).
+
+    The reference permutes with RandomState(42) and takes the LAST
+    ``num_test`` entries of the permutation as the test videos
+    (``test_video = video_range[-14:]``) and the rest — in permutation
+    order, not sorted — as train (``train_video = video_range[:-14]``).
+    """
     rng = np.random.RandomState(seed)
     perm = rng.permutation(num_videos)
-    return perm[:num_test], perm[num_test:]
+    return perm[-num_test:], perm[:-num_test]
 
 
 class VideoPklDataset:
@@ -66,7 +72,9 @@ class VideoPklDataset:
         if split in ("train", "test") and len(paths) > 14:
             test_ids, train_ids = tigdog_test_split(len(paths))
             keep = test_ids if split == "test" else train_ids
-            paths = [paths[i] for i in sorted(keep)]
+            # keep the permutation order (reference indexes file_paths by
+            # the permuted id array, tigdog_final.py:110-114)
+            paths = [paths[i] for i in keep]
         self.paths = paths
 
     def __len__(self):

@@ -28,14 +28,50 @@ class BenchStats:
         ious = np.concatenate(self.ious, axis=0)
         kp_errs = np.concatenate(self.kp_errs, axis=0)
         kp_vis = np.concatenate(self.kp_vis, axis=0)
+        # NOTE: kp_errs must already be in normalized units where the
+        # 0.1 / 0.15 thresholds apply directly — kp_errors() returns
+        # [-1,1]-frame units (monocular evaluator) and kp_errors_pixel()
+        # pre-divides pixel error by img_size (multiframe evaluator, whose
+        # reference thresholds are 0.1*img_size in raw pixels). Never pass
+        # raw pixel errors here.
         n_vis = kp_vis.sum(axis=0)
-        pck1 = (((kp_errs < 0.1) * kp_vis).sum(0) / np.maximum(n_vis, 1e-9)).mean()
-        pck15 = (((kp_errs < 0.15) * kp_vis).sum(0) / np.maximum(n_vis, 1e-9)).mean()
+        n_correct1 = ((kp_errs < 0.1) * kp_vis).sum(axis=0)
+        n_correct15 = ((kp_errs < 0.15) * kp_vis).sum(axis=0)
+        # Reference parity: delete keypoint columns that are never visible
+        # in the eval set before averaging (multiframe/benchmark/
+        # evaluate.py:236-243 "remove non visible kps to avoid NaNs") —
+        # zero-filling them would deflate PCK.
+        keep = n_vis > 0
+        n_vis = n_vis[keep]
+        pck1 = (n_correct1[keep] / n_vis).mean() if keep.any() else 0.0
+        pck15 = (n_correct15[keep] / n_vis).mean() if keep.any() else 0.0
         return {
             "mean_iou": float(ious.mean()),
             "pck_0.1": float(pck1),
             "pck_0.15": float(pck15),
         }
+
+    def arrays(self) -> dict:
+        """Concatenated per-sample arrays (the reference's bench_stats dict:
+        multiframe/benchmark/evaluate.py:218-222)."""
+        return {
+            "ious": np.concatenate(self.ious, 0),
+            "kp_errs": np.concatenate(self.kp_errs, 0),
+            "kp_vis": np.concatenate(self.kp_vis, 0),
+        }
+
+    def save(self, results_dir: str, save_mat: bool = False) -> None:
+        """Save results.npz (+ optional results.mat for drop-in parity with
+        the reference's sio.savemat, benchmark/evaluate.py:225)."""
+        import os
+
+        os.makedirs(results_dir, exist_ok=True)
+        arrays = self.arrays()
+        np.savez(os.path.join(results_dir, "results.npz"), **arrays)
+        if save_mat:
+            import scipy.io as sio
+
+            sio.savemat(os.path.join(results_dir, "results.mat"), arrays)
 
     def print_reference_format(self):
         r = self.results()

@@ -11,12 +11,26 @@ scatters then stay chip-local under the same batch sharding.
 """
 from __future__ import annotations
 
+import logging
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+
+def _warn_replicated(what: str, shape, n: int) -> None:
+    """Loud fallback: a batch/table axis not divisible by the mesh size
+    silently degrades data parallelism to replication — log it so a batch-
+    size change on a real mesh doesn't quietly lose the split."""
+    logger.warning(
+        "shard fallback: %s with shape %s replicates on a %d-device mesh "
+        "(leading/row axis not divisible by %d) — data parallelism lost "
+        "for this array", what, tuple(shape), n, n,
+    )
 
 
 def make_mesh(devices: Optional[list] = None, axis_name: str = "data") -> Mesh:
@@ -44,12 +58,14 @@ def shard_batch(mesh: Mesh, tree: Any) -> Any:
     s = batch_sharding(mesh)
     r = replicated(mesh)
 
-    def put(x):
+    def put(path, x):
         shape = jnp.shape(x)
         ok = len(shape) > 0 and shape[0] % n == 0
+        if not ok and n > 1 and len(shape) > 0:
+            _warn_replicated(f"batch leaf {jax.tree_util.keystr(path)}", shape, n)
         return jax.device_put(x, s if ok else r)
 
-    return jax.tree_util.tree_map(put, tree)
+    return jax.tree_util.tree_map_with_path(put, tree)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
@@ -86,8 +102,10 @@ def shard_multiplex(mesh: Mesh, mpx: Any) -> Any:
     def put(x, spec_key, row_axis):
         if x is None:
             return None
-        s = sh[spec_key] if x.shape[row_axis] % n == 0 else r
-        return jax.device_put(x, s)
+        ok = x.shape[row_axis] % n == 0
+        if not ok and n > 1:
+            _warn_replicated(f"multiplex.{spec_key}", x.shape, n)
+        return jax.device_put(x, sh[spec_key] if ok else r)
 
     return dataclasses.replace(
         mpx,

@@ -116,6 +116,106 @@ def align_sfm_model(S: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return Sa, u.T
 
 
+def _quat_to_mat(q: np.ndarray) -> np.ndarray:
+    """Scalar-first unit quaternion -> 3x3 rotation matrix."""
+    w, x, y, z = q / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def mask_chamfer(mask_dist: np.ndarray, pts: np.ndarray) -> float:
+    """Squared bilinear chamfer distance of 2D points to a mask.
+
+    Parity: chamferLossInterp (reprojMaskMinimize.m:64-86) — points are
+    clamped into the image (the squared clamping displacement is added),
+    then the mask distance transform is bilinearly sampled at the clamped
+    locations and its squares summed. ``mask_dist`` follows MATLAB
+    ``bwdist(mask)`` semantics: 0 inside the mask, Euclidean pixel
+    distance to the nearest mask pixel outside.
+
+    pts: (2, M) in (x, y) pixel coordinates.
+    """
+    from scipy.ndimage import map_coordinates
+
+    if pts.size == 0:
+        return 0.0
+    h, w = mask_dist.shape
+    clamped = np.stack([
+        np.clip(pts[0], 0.0, w - 1.0),
+        np.clip(pts[1], 0.0, h - 1.0),
+    ])
+    err_pt = float(((pts - clamped) ** 2).sum())
+    # map_coordinates wants (row, col) = (y, x)
+    d = map_coordinates(mask_dist, clamped[::-1], order=1, mode="nearest")
+    return err_pt + float((d * d).sum())
+
+
+def refine_camera_mask(
+    P: np.ndarray,
+    S: np.ndarray,
+    mask: np.ndarray,
+    c_init: float,
+    R_init: np.ndarray,
+    t_init: np.ndarray,
+) -> tuple[float, np.ndarray, np.ndarray, float]:
+    """Mask-based camera refinement (reprojMaskMinimize.m).
+
+    Jointly refines (scale, rotation, translation) of a weak-perspective
+    camera so that VISIBLE keypoints (non-NaN columns of ``P``) reproject
+    onto their annotations (squared error) while NON-visible keypoints'
+    projections are pulled inside the foreground mask via the squared
+    bilinear chamfer distance (reprojMaskMinimize.m:12-31: the objective
+    is ``err_kp + chamferLossInterp(bwdist(mask), proj_non_vis)``),
+    optimized quasi-Newton over x = [c, t, quat] like the reference's
+    ``fminunc``.
+
+    Args:
+      P: (2, K) pixel keypoints, NaN columns = invisible.
+      S: (3, K) canonical shape.
+      mask: (H, W) foreground mask (>0 = object).
+      c_init / R_init / t_init: initial scale, (3,3) rotation, (2,) trans.
+    Returns:
+      (c, R, t, err): refined camera and final objective value.
+    """
+    from scipy.ndimage import distance_transform_edt
+    from scipy.optimize import minimize
+
+    from ..data.base import quaternion_from_matrix_np
+
+    P = np.asarray(P, np.float64)
+    S = np.asarray(S, np.float64)
+    vis = ~np.isnan(P[0])
+    S_vis, P_vis = S[:, vis], P[:, vis]
+    S_non = S[:, ~vis]
+
+    # bwdist(mask): distance to the nearest foreground pixel (0 inside)
+    mask_dist = distance_transform_edt(~(np.asarray(mask) > 0))
+
+    q_init = quaternion_from_matrix_np(np.asarray(R_init, np.float64))
+    x0 = np.concatenate([[float(c_init)], np.asarray(t_init, np.float64), q_init])
+
+    def objective(x):
+        c, t = x[0], x[1:3]
+        R2 = _quat_to_mat(x[3:7])[:2]
+        err = float(((c * (R2 @ S_vis) + t[:, None] - P_vis) ** 2).sum())
+        if S_non.shape[1]:
+            err += mask_chamfer(mask_dist, c * (R2 @ S_non) + t[:, None])
+        return err
+
+    res = minimize(objective, x0, method="BFGS",
+                   options={"maxiter": 300, "gtol": 1e-8})
+    # numeric-gradient BFGS stalls near the optimum on the quaternion
+    # scale degeneracy; a short simplex polish matches fminunc's
+    # convergence on the reference's scenes
+    res = minimize(objective, res.x, method="Nelder-Mead",
+                   options={"maxiter": 2000, "xatol": 1e-10, "fatol": 1e-12})
+    x = res.x
+    return float(x[0]), _quat_to_mat(x[3:7]), x[1:3].copy(), float(res.fun)
+
+
 def sfm_camera_annotations(kps_px, vis, img_sizes, n_iter=50):
     """Full pipeline: pixel kps -> [-1,1]-frame (scale, trans, quat) per
     image + aligned mean shape — the cub_sfm.m output contract."""

@@ -39,6 +39,49 @@ class TestMetrics:
         assert r["pck_0.1"] == pytest.approx(0.5)
         assert r["pck_0.15"] == pytest.approx(0.5)
 
+    def test_never_visible_kp_columns_deleted(self):
+        """Reference parity (multiframe/benchmark/evaluate.py:236-243):
+        kp columns with zero total visibility are DELETED before the
+        per-column PCK average, not kept as zeros."""
+        stats = em.BenchStats()
+        # 3 samples, 3 kps; kp 2 never visible; kp 0 always correct at 0.1;
+        # kp 1 correct on 1 of 2 visible samples.
+        errs = np.asarray([[0.05, 0.05, 0.0],
+                           [0.05, 0.50, 0.0],
+                           [0.05, 0.05, 0.0]])
+        vis = np.asarray([[1.0, 1.0, 0.0],
+                          [1.0, 1.0, 0.0],
+                          [1.0, 0.0, 0.0]])
+        stats.update(np.asarray([1.0, 1.0, 1.0]), errs, vis)
+        r = stats.results()
+        # reference aggregation on the same fixture
+        n_vis = vis.sum(0)
+        nc1 = ((errs < 0.1) * vis).sum(0)
+        nc15 = ((errs < 0.15) * vis).sum(0)
+        remove = [i for i, v in enumerate(n_vis) if v == 0]
+        n_vis = np.delete(n_vis, remove)
+        ref1 = (np.delete(nc1, remove) / n_vis).mean()
+        ref15 = (np.delete(nc15, remove) / n_vis).mean()
+        assert r["pck_0.1"] == pytest.approx(ref1)  # (3/3 + 1/2)/2 = 0.75
+        assert r["pck_0.15"] == pytest.approx(ref15)
+        assert r["pck_0.1"] == pytest.approx(0.75)
+
+    def test_save_results_mat(self, tmp_path):
+        """--save_mat writes a scipy-readable results.mat with the
+        reference's bench_stats keys (benchmark/evaluate.py:225)."""
+        import scipy.io as sio
+
+        stats = em.BenchStats()
+        stats.update(np.asarray([0.5]), np.asarray([[0.05, 0.2]]),
+                     np.asarray([[1.0, 1.0]]))
+        stats.save(str(tmp_path), save_mat=True)
+        mat = sio.loadmat(str(tmp_path / "results.mat"))
+        np.testing.assert_allclose(mat["ious"].ravel(), [0.5])
+        np.testing.assert_allclose(mat["kp_errs"], [[0.05, 0.2]])
+        np.testing.assert_allclose(mat["kp_vis"], [[1.0, 1.0]])
+        npz = np.load(str(tmp_path / "results.npz"))
+        np.testing.assert_allclose(npz["ious"], [0.5])
+
 
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):

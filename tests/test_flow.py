@@ -33,22 +33,53 @@ class TestCorrelation:
         np.testing.assert_allclose(center, (f * f).mean(-1), atol=1e-5)
 
 
+def _deform_conv2d_oracle(x, offsets, w, b, padding=1):
+    """Scalar-loop oracle for torchvision deform_conv2d(k=3, s=1) semantics
+    (NCHW; offsets (B, 18, H, W) = per-tap (dy, dx) interleaved, taps
+    row-major; bilinear sampling with zero outside the image). Used when
+    torchvision itself is not installed so the parity test always runs."""
+    B, C, H, W = x.shape
+    O = w.shape[0]
+    out = np.tile(b[None, :, None, None], (B, 1, H, W)).astype(np.float64)
+    for bi in range(B):
+        for oy in range(H):
+            for ox in range(W):
+                for k in range(9):
+                    ky, kx = k // 3, k % 3
+                    py = oy - padding + ky + offsets[bi, 2 * k, oy, ox]
+                    px = ox - padding + kx + offsets[bi, 2 * k + 1, oy, ox]
+                    y0, x0 = int(np.floor(py)), int(np.floor(px))
+                    wy, wx = py - y0, px - x0
+                    v = np.zeros(C)
+                    for yy, cy in ((y0, 1 - wy), (y0 + 1, wy)):
+                        for xx, cx in ((x0, 1 - wx), (x0 + 1, wx)):
+                            if 0 <= yy < H and 0 <= xx < W:
+                                v += cy * cx * x[bi, :, yy, xx]
+                    out[bi, :, oy, ox] += w[:, :, ky, kx] @ v
+    return out
+
+
 class TestDeformConv:
     def test_matches_torchvision(self):
-        torch = pytest.importorskip("torch")
-        tv = pytest.importorskip("torchvision")
-        from torchvision.ops import deform_conv2d
-
         rng = np.random.default_rng(0)
         B, H, W, C, O = 2, 5, 6, 4, 3
         x = rng.normal(size=(B, C, H, W)).astype(np.float32)
         offsets = (rng.normal(size=(B, 18, H, W)) * 0.7).astype(np.float32)
         w = rng.normal(size=(O, C, 3, 3)).astype(np.float32)
         b = rng.normal(size=(O,)).astype(np.float32)
-        ref = deform_conv2d(
-            torch.from_numpy(x), torch.from_numpy(offsets), torch.from_numpy(w),
-            torch.from_numpy(b), padding=1,
-        ).numpy()
+        try:
+            import torch
+            from torchvision.ops import deform_conv2d
+
+            ref = deform_conv2d(
+                torch.from_numpy(x), torch.from_numpy(offsets),
+                torch.from_numpy(w), torch.from_numpy(b), padding=1,
+            ).numpy()
+        except ImportError:
+            # torchvision is absent in this environment — fall back to the
+            # self-contained oracle (same documented semantics) so this
+            # parity test never silently skips out of the fast tier.
+            ref = _deform_conv2d_oracle(x, offsets, w, b).astype(np.float32)
         ours = ops.deform_conv3x3(
             jnp.asarray(np.moveaxis(x, 1, -1)),
             jnp.asarray(np.moveaxis(offsets, 1, -1)),

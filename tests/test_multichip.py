@@ -199,3 +199,33 @@ def test_tto_refine_on_mesh(runs):
     assert np.isfinite(l8)
     np.testing.assert_allclose(l8, l1, rtol=1e-4)
     np.testing.assert_allclose(v8, v1, rtol=1e-3, atol=1e-5)
+
+
+def test_shard_batch_warns_on_replication_fallback(caplog):
+    """Non-divisible leading axes must fall back to replication LOUDLY
+    (round-3 verdict: a batch-size change on a real mesh would silently
+    lose the data-parallel split)."""
+    import logging
+
+    mesh = pmesh.make_mesh(jax.devices()[:NDEV])
+    bad = {"x": np.zeros((NDEV + 1, 4), np.float32),
+           "good": np.zeros((NDEV, 4), np.float32)}
+    with caplog.at_level(logging.WARNING,
+                         logger="acfm_video_3d_reconstruction_tpu.parallel.mesh"):
+        out = pmesh.shard_batch(mesh, bad)
+    warns = [r for r in caplog.records if "shard fallback" in r.message]
+    assert len(warns) == 1 and "'x'" in warns[0].message
+    from jax.sharding import PartitionSpec as P
+    assert out["x"].sharding.spec == P()
+    assert out["good"].sharding.spec == P("data")
+
+    caplog.clear()
+    # multiplex row fallback warns too
+    from acfm_video_3d_reconstruction_tpu.multiplex import state as mpx_state
+    mpx = mpx_state.init_quat_multiplex(
+        num_frames=NDEV + 1, num_guesses=2, num_lbs=4
+    )
+    with caplog.at_level(logging.WARNING,
+                         logger="acfm_video_3d_reconstruction_tpu.parallel.mesh"):
+        pmesh.shard_multiplex(mesh, mpx)
+    assert any("multiplex." in r.message for r in caplog.records)

@@ -46,6 +46,73 @@ class TestSfM:
         np.testing.assert_allclose(Sa.mean(1), 0.0, atol=1e-9)
         assert abs(np.abs(Sa).max() - 1.0) < 1e-9
 
+    def test_mask_chamfer_zero_inside(self):
+        """bwdist semantics: distance 0 inside the mask, >0 outside;
+        clamp displacement is added for out-of-image points."""
+        from scipy.ndimage import distance_transform_edt
+
+        mask = np.zeros((32, 32))
+        mask[8:24, 8:24] = 1.0
+        md = distance_transform_edt(~(mask > 0))
+        inside = np.array([[10.0, 15.0], [10.0, 20.0]])  # (2, M) xy
+        assert sfm_init.mask_chamfer(md, inside) == 0.0
+        outside = np.array([[2.0], [2.0]])
+        assert sfm_init.mask_chamfer(md, outside) > 0.0
+        # out-of-image point: clamp displacement (squared) is included
+        off = np.array([[40.0], [16.0]])  # clamps x to 31
+        assert sfm_init.mask_chamfer(md, off) >= (40.0 - 31.0) ** 2
+
+    def test_refine_camera_mask_recovers_perturbed_camera(self):
+        """Synthetic scene: GT camera renders all kps inside a splatted
+        mask; half the kps are hidden (NaN). A perturbed init must refine
+        back so visible-kp error drops and hidden projections land inside
+        the mask (reprojMaskMinimize.m objective)."""
+        rng = np.random.default_rng(3)
+        K = 10
+        S = rng.normal(size=(3, K))
+        S -= S.mean(1, keepdims=True)
+        S /= np.abs(S).max()
+        ang = 0.4
+        R_gt = np.array([
+            [np.cos(ang), -np.sin(ang), 0],
+            [np.sin(ang), np.cos(ang), 0],
+            [0, 0, 1.0],
+        ])
+        c_gt, t_gt = 12.0, np.array([32.0, 32.0])
+        proj = c_gt * (R_gt @ S)[:2] + t_gt[:, None]  # (2, K)
+
+        # splat a generous disk around every projected kp -> mask
+        mask = np.zeros((64, 64))
+        yy, xx = np.mgrid[:64, :64]
+        for k in range(K):
+            mask[(xx - proj[0, k]) ** 2 + (yy - proj[1, k]) ** 2 < 36] = 1.0
+
+        P = proj.copy()
+        P[:, K // 2:] = np.nan  # hide half the keypoints
+
+        dang = 0.25
+        dR = np.array([
+            [np.cos(dang), -np.sin(dang), 0],
+            [np.sin(dang), np.cos(dang), 0],
+            [0, 0, 1.0],
+        ])
+        c0, R0, t0 = c_gt * 1.3, dR @ R_gt, t_gt + np.array([5.0, -4.0])
+
+        def vis_err(c, R, t):
+            pr = c * (R[:2] @ S[:, : K // 2]) + t[:, None]
+            return np.abs(pr - proj[:, : K // 2]).max()
+
+        c, R, t, err = sfm_init.refine_camera_mask(P, S, mask, c0, R0, t0)
+        assert vis_err(c, R, t) < 0.05 < vis_err(c0, R0, t0)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-8)
+        # hidden kps project inside the mask (chamfer ~ 0)
+        from scipy.ndimage import distance_transform_edt
+
+        md = distance_transform_edt(~(mask > 0))
+        hidden = c * (R[:2] @ S[:, K // 2:]) + t[:, None]
+        assert sfm_init.mask_chamfer(md, hidden) < 1.0
+        assert err < 1.0
+
 
 class TestFlowIO:
     def test_flo_roundtrip(self, tmp_path):
