@@ -39,6 +39,13 @@ flags.DEFINE_boolean(
     "also save results.mat (scipy.io.savemat of the bench stats, drop-in "
     "for the reference's sio.savemat: benchmark/evaluate.py:225)",
 )
+flags.DEFINE_boolean(
+    "use_gt_camera", False,
+    "DIAGNOSTIC (no reference analog): project through the loader's GT "
+    "sfm_pose camera instead of the predicted one — the PCK ceiling with "
+    "a perfect camera regressor, for separating camera error from shape "
+    "error on held-out splits",
+)
 
 
 def main(_):
@@ -123,7 +130,11 @@ def main(_):
         imgs = jnp.asarray(batch["img"].reshape(-1, img_size, img_size, 3))
         out, mean_shape, lbs, vert2kp, pred_v = forward_batch(state, imgs)
         cam_pred = out["cam_pred"]
-        if FLAGS.use_argmax_camera:
+        if FLAGS.use_gt_camera:
+            cam_pred = jnp.asarray(
+                np.asarray(batch["sfm_pose"], np.float32).reshape(-1, 7)
+            )
+        elif FLAGS.use_argmax_camera:
             from ..eval.predictor import argmax_multiplex_camera
 
             cam_pred = argmax_multiplex_camera(
@@ -152,6 +163,13 @@ def main(_):
             kp_pred[:, 0], batch["kp"][:, 0], img_size
         )
         stats.update(iou, err, vis)
+        # frame-0 camera actually used for projection (post-TTO if enabled)
+        # — a diagnostic for separating camera-regressor error from shape
+        # error in held-out PCK; npz-only, not in the reference-parity .mat
+        stats.add_extra(
+            "cams", np.asarray(cam_pred).reshape(-1, T, 7)[:, 0]
+        )
+        stats.add_extra("kp_pred", kp_pred[:, 0])
         if FLAGS.save_visuals > 0 and i < FLAGS.save_visuals:
             import os
 

@@ -18,6 +18,7 @@ class BenchStats:
     ious: list = dataclasses.field(default_factory=list)
     kp_errs: list = dataclasses.field(default_factory=list)
     kp_vis: list = dataclasses.field(default_factory=list)
+    extras: dict = dataclasses.field(default_factory=dict)
 
     def update(self, iou: np.ndarray, kp_err: np.ndarray, kp_vis: np.ndarray):
         self.ious.append(np.asarray(iou))
@@ -51,6 +52,12 @@ class BenchStats:
             "pck_0.15": float(pck15),
         }
 
+    def add_extra(self, name: str, value: np.ndarray) -> None:
+        """Attach a per-batch diagnostic array (e.g. predicted cameras);
+        concatenated into results.npz but kept OUT of results.mat, whose
+        keys match the reference's bench_stats exactly."""
+        self.extras.setdefault(name, []).append(np.asarray(value))
+
     def arrays(self) -> dict:
         """Concatenated per-sample arrays (the reference's bench_stats dict:
         multiframe/benchmark/evaluate.py:218-222)."""
@@ -67,7 +74,8 @@ class BenchStats:
 
         os.makedirs(results_dir, exist_ok=True)
         arrays = self.arrays()
-        np.savez(os.path.join(results_dir, "results.npz"), **arrays)
+        extras = {k: np.concatenate(v, 0) for k, v in self.extras.items()}
+        np.savez(os.path.join(results_dir, "results.npz"), **arrays, **extras)
         if save_mat:
             import scipy.io as sio
 

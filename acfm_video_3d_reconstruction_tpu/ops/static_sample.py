@@ -123,12 +123,20 @@ def make_static_bilinear(coords_xy: np.ndarray, H: int, W: int,
     c2 = invw2_np.shape[1]
     n_hot = invp2_np.shape[0]
 
+    # Layout: both directions gather with ROWS = sample/pixel ids and
+    # LANES = batch*channels. Gathering from (B, rows, C) fetches rows of
+    # only C (=3) elements — TPU row-fetches are latency-bound, so packing
+    # B*C into lanes cuts the fetch count B-fold and fills the lanes
+    # (36 vs 3 useful lanes at the bench shape).
+
     @jax.custom_vjp
     def sample(img):
         B, _, _, C = img.shape
         flat = img.reshape(B, H * W, C)
-        g = jnp.take(flat, idx4, axis=1).reshape(B, P, 4, C)
-        return (g * w4[None, :, :, None].astype(img.dtype)).sum(2)
+        flat2 = jnp.moveaxis(flat, 0, 1).reshape(H * W, B * C)
+        g = jnp.take(flat2, idx4, axis=0).reshape(P, 4, B * C)
+        out = (g * w4[:, :, None].astype(img.dtype)).sum(1)  # (P, B*C)
+        return jnp.moveaxis(out.reshape(P, B, C), 0, 1)
 
     def fwd(img):
         return sample(img), None
@@ -136,17 +144,19 @@ def make_static_bilinear(coords_xy: np.ndarray, H: int, W: int,
     def bwd(res, ct):
         del res
         B, _, C = ct.shape
+        ct2 = jnp.moveaxis(ct, 0, 1).reshape(P, B * C)
         ct_pad = jnp.concatenate(
-            [ct, jnp.zeros((B, 1, C), ct.dtype)], axis=1
+            [ct2, jnp.zeros((1, B * C), ct.dtype)], axis=0
         )  # dump row P
-        g1 = jnp.take(ct_pad, inv_p1, axis=1).reshape(B, H * W, c1, C)
-        g_flat = (g1 * inv_w1[None, :, :, None].astype(ct.dtype)).sum(2)
+        g1 = jnp.take(ct_pad, inv_p1, axis=0).reshape(H * W, c1, B * C)
+        g_flat = (g1 * inv_w1[:, :, None].astype(ct.dtype)).sum(1)
         if n_hot > 0 and hot.shape[0] > 0:
-            g2 = jnp.take(ct_pad, inv_p2, axis=1).reshape(B, n_hot, c2, C)
-            g2 = (g2 * inv_w2[None, :, :, None].astype(ct.dtype)).sum(2)
+            g2 = jnp.take(ct_pad, inv_p2, axis=0).reshape(n_hot, c2, B * C)
+            g2 = (g2 * inv_w2[:, :, None].astype(ct.dtype)).sum(1)
             # static row ids: XLA lowers this to a dense dynamic-update
-            g_flat = g_flat.at[:, hot].add(g2)
-        return (g_flat.reshape(B, H, W, C),)
+            g_flat = g_flat.at[hot].add(g2)
+        g_img = jnp.moveaxis(g_flat.reshape(H * W, B, C), 0, 1)
+        return (g_img.reshape(B, H, W, C),)
 
     sample.defvjp(fwd, bwd)
     return sample

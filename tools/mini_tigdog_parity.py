@@ -285,6 +285,11 @@ def main():
     # + shape convergence from camera-regressor generalization
     after_train = run_eval(o, ["--split", "train", "--use_argmax_camera"])
     print("train split (argmax multiplex):", after_train, flush=True)
+    # held-out PCK ceiling with a perfect camera (diagnostic, no reference
+    # analog): if this is high while the predicted-camera PCK is low, the
+    # held-out gap is camera-regressor generalization, not shape quality
+    after_gtcam = run_eval(o, ["--use_gt_camera"])
+    print("held-out, GT camera (diagnostic ceiling):", after_gtcam, flush=True)
 
     table = (
         "\n## Mini-TigDog multiframe parity run (tools/mini_tigdog_parity.py)\n\n"
@@ -296,14 +301,17 @@ def main():
         f"frames, {IMG}^2) -> benchmark evaluation per "
         "multiframe/benchmark/evaluate.py:227-245 (frame-0 IoU, pixel PCK), "
         "with and without test-time optimization.\n\n"
-        "| metric | random init | trained | trained + TTO | train split (argmax mpx) |\n"
-        "|---|---|---|---|---|\n"
+        "| metric | random init | trained | trained + TTO | train split (argmax mpx) | held-out, GT camera (diagnostic) |\n"
+        "|---|---|---|---|---|---|\n"
         f"| mean mask IoU | {before['mean_iou']:.3f} | {after['mean_iou']:.3f} "
-        f"| {after_tto['mean_iou']:.3f} | {after_train['mean_iou']:.3f} |\n"
+        f"| {after_tto['mean_iou']:.3f} | {after_train['mean_iou']:.3f} "
+        f"| {after_gtcam['mean_iou']:.3f} |\n"
         f"| PCK@0.1 | {before['pck_0.1']:.3f} | {after['pck_0.1']:.3f} "
-        f"| {after_tto['pck_0.1']:.3f} | {after_train['pck_0.1']:.3f} |\n"
+        f"| {after_tto['pck_0.1']:.3f} | {after_train['pck_0.1']:.3f} "
+        f"| {after_gtcam['pck_0.1']:.3f} |\n"
         f"| PCK@0.15 | {before['pck_0.15']:.3f} | {after['pck_0.15']:.3f} "
-        f"| {after_tto['pck_0.15']:.3f} | {after_train['pck_0.15']:.3f} |\n\n"
+        f"| {after_tto['pck_0.15']:.3f} | {after_train['pck_0.15']:.3f} "
+        f"| {after_gtcam['pck_0.15']:.3f} |\n\n"
         f"train wall-clock {dt:.1f}s. The reference publishes no multiframe "
         "IoU/PCK numbers in-repo (its benchmark prints them per run, "
         "monocular CUB PCK@0.1=0.915 is the only published metric); this run "

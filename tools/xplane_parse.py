@@ -160,10 +160,32 @@ def line_totals(path, plane_filter=("TPU", "/device")):
     return out
 
 
+def line_op_totals(path, line_name_filter, plane_filter=("TPU", "/device")):
+    """Per-op totals WITHIN one queue (XLine) — e.g. the serial compute
+    line ('XLA Ops'), excluding the overlapped async-DMA queues that the
+    flat op aggregation conflates. Returns {plane: {op: (ps, count)}}."""
+    out = {}
+    for name, lines, meta in parse_xspace(path):
+        if not any(f in name for f in plane_filter):
+            continue
+        totals = {}
+        for ln, events in lines:
+            if ln != line_name_filter:  # exact: "XLA Ops" != "Async XLA Ops"
+                continue
+            for md, _, dur in events:
+                op = meta.get(md, str(md))
+                t, c = totals.get(op, (0, 0))
+                totals[op] = (t + dur, c + 1)
+        if totals:
+            out[name] = totals
+    return out
+
+
 if __name__ == "__main__":
     import sys
 
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    line_filter = sys.argv[3] if len(sys.argv) > 3 else None
     per_line = line_totals(sys.argv[1])
     for plane, totals in op_totals(sys.argv[1]).items():
         print("== plane:", plane)
@@ -174,9 +196,18 @@ if __name__ == "__main__":
                 f"  {busy / 1e9 / steps:8.3f} | {span / 1e9 / steps:8.3f} "
                 f"| x{n // steps:<4d} {ln[:28]:28s} top: {tops}"
             )
-        print("-- per op (flat, overlapped queues conflated):")
-        items = sorted(totals.items(), key=lambda kv: -kv[1][0])
-        tot = sum(t for t, _ in totals.values())
-        print(f"total accounted: {tot / 1e9 / steps:.2f} ms/step")
-        for op, (ps, c) in items[:40]:
-            print(f"{ps / 1e9 / steps:9.3f} ms/step x{c // steps:<5d} {op[:110]}")
+        if line_filter:
+            print(f"-- per op within queue '{line_filter}' (serial time):")
+            sub = line_op_totals(sys.argv[1], line_filter).get(plane, {})
+            items = sorted(sub.items(), key=lambda kv: -kv[1][0])
+            tot = sum(t for t, _ in sub.values())
+            print(f"queue total: {tot / 1e9 / steps:.2f} ms/step")
+            for op, (ps, c) in items[:40]:
+                print(f"{ps / 1e9 / steps:9.3f} ms/step x{c // steps:<5d} {op[:110]}")
+        else:
+            print("-- per op (flat, overlapped queues conflated):")
+            items = sorted(totals.items(), key=lambda kv: -kv[1][0])
+            tot = sum(t for t, _ in totals.values())
+            print(f"total accounted: {tot / 1e9 / steps:.2f} ms/step")
+            for op, (ps, c) in items[:40]:
+                print(f"{ps / 1e9 / steps:9.3f} ms/step x{c // steps:<5d} {op[:110]}")
