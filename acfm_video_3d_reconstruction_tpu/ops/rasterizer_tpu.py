@@ -5,8 +5,9 @@ remains the golden reference — tests/test_rasterizer_tpu.py checks
 bit-level agreement modulo bin overflow). Design:
 
   1. Bin pass (XLA): per-face screen bboxes (+ blur margin) are tested
-     against a static pixel-tile grid; each (batch, tile) selects its top-K
-     overlapping faces (top_k over the overlap mask). The gathered
+     against a static pixel-tile grid; each (batch, tile) stream-compacts
+     its overlapping faces to a K-prefix (cumsum + compare-reduce; no
+     sort — lowest face indices win on overflow). The gathered
      per-tile face table (B, T, 16comp, K) is the kernel input — faces the
      tile never sees are never touched (PyTorch3D's coarse-to-fine
      rasterization, recast as static-shape gathers).
@@ -105,19 +106,19 @@ def _face_tables(verts: jax.Array, faces: jax.Array, image_size: int,
     fv = verts[:, faces]  # (B, F, 3, 3)
     F = faces.shape[0]
     ov = _tile_overlap(verts, faces, image_size, tile_h, tile_w, margin)
-    # top-K by overlap (stable order by face index among equal keys)
-    k_sel = min(K, F)
-    score = ov.astype(jnp.float32) * 2.0 - (
-        jnp.arange(F, dtype=jnp.float32) / F
-    )[None, None, :]
-    vals, idx = jax.lax.top_k(score, k_sel)  # (B, T, k_sel)
-    # overlapping faces score in (1, 2], non-overlapping in (-1, 0] — the
-    # top_k VALUES already encode validity (a 196k-row 1-bit gather of ov
-    # at idx measured 1.8-4.9 ms/step on chip; this is free)
-    valid = vals > 0.0
-    idx = jnp.where(valid, idx, -1).astype(jnp.int32)
-    if K > k_sel:  # pad slots beyond F with invalid entries
-        idx = jnp.pad(idx, [(0, 0), (0, 0), (0, K - k_sel)], constant_values=-1)
+    # Stream-compact the overlapping faces to a K-prefix per tile (stable
+    # face-index order, lowest-index-first on overflow — identical to the
+    # previous top_k-by-(overlap, -rank) formulation, which lowered to a
+    # ~108-pass XLA sort and dominated the binning cost on chip). The k-th
+    # overlapping face sits where the inclusive cumsum first reaches k+1,
+    # i.e. at index #{f : c_f <= k} — one fused compare-reduce per slot.
+    c = jnp.cumsum(ov.astype(jnp.int32), axis=-1)  # (B, T, F) inclusive
+    total = c[..., -1:]  # (B, T, 1) overlapping faces per tile
+    kk = jnp.arange(K, dtype=jnp.int32)
+    idx = jnp.sum(
+        c[..., None, :] <= kk[:, None], axis=-1, dtype=jnp.int32
+    )  # (B, T, K)
+    idx = jnp.where(kk < total, idx, -1)
 
     # gather face data
     comp = jnp.concatenate(
@@ -542,8 +543,8 @@ def auto_K(num_faces: int, image_size: int, requested: int) -> int:
 def _chunk_counts(idx: jax.Array, n_kc: int) -> jax.Array:
     """(B, T, K) face ids -> (B, T*n_kc) int32 valid counts per chunk.
 
-    Valid entries are a prefix of each chunk: the top_k score orders all
-    valid faces before invalid ones across the whole K list.
+    Valid entries are a prefix of each chunk: the stream compaction packs
+    all valid faces before invalid ones across the whole K list.
     """
     B, T, K = idx.shape
     v = (idx >= 0).reshape(B, T, n_kc, K // n_kc).sum(-1)
@@ -731,7 +732,7 @@ def _soft_fwd(verts, faces, image_size, K, sigma, blur_radius, interpret):
     p2f = _untile(p2f, image_size, layout).astype(jnp.int32)
     vis_verts = visible_slots(slot, idx, faces, verts.shape[1])
     # the face tables are cheap to keep (few MB) and expensive to rebuild
-    # (top_k binning) — save them for the backward pass
+    # (overlap + compaction binning) — save them for the backward pass
     residual = (verts, faces, S, idx, tab, counts)
     return (mask, p2f, vis_verts), residual
 

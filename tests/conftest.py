@@ -35,3 +35,14 @@ _CACHE = os.path.join(
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+# Build the native preprocessing library on first collection in a fresh
+# checkout (the .so is a build artifact, not committed) so the native
+# parity tests never silently skip out of the suite.
+_NATIVE = os.path.normpath(os.path.join(os.path.dirname(__file__), "..", "native"))
+if not os.path.exists(os.path.join(_NATIVE, "libacfm_preproc.so")):
+    import subprocess
+
+    subprocess.run(
+        ["sh", os.path.join(_NATIVE, "build.sh")], check=False, capture_output=True
+    )

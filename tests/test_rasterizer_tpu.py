@@ -198,6 +198,28 @@ class TestBinOverflow:
             ovf = tpu.bin_overflow_counts(proj, faces, 256, K)
             assert int(np.asarray(ovf).max()) == 0, (K, np.asarray(ovf).max())
 
+    def test_face_table_compaction_semantics(self, scene):
+        """The binning stream-compacts each tile's overlapping faces to a
+        K-prefix in ascending face-index order, -1 padded; on overflow the
+        K lowest face indices win (same contract the old top_k-by-
+        (overlap, -rank) formulation had)."""
+        proj, faces = scene
+        bh, bw, _ = tpu._pick_layout(IMG)
+        for K in (64, 128):
+            tab, idx = tpu._face_tables(
+                proj, faces, IMG, bh, bw, K, margin=0.1
+            )
+            ov = np.asarray(
+                tpu._tile_overlap(proj, faces, IMG, bh, bw, 0.1)
+            )
+            idx = np.asarray(idx)
+            for b in range(idx.shape[0]):
+                for t in range(idx.shape[1]):
+                    want = np.nonzero(ov[b, t])[0][:K]
+                    got = idx[b, t]
+                    np.testing.assert_array_equal(got[: len(want)], want)
+                    assert (got[len(want):] == -1).all()
+
     def test_overflow_detected_when_k_too_small(self):
         from acfm_video_3d_reconstruction_tpu.geometry import icosphere as ico
 
