@@ -112,13 +112,11 @@ def make_tto_step_fn(
             delta_res = opt_params["delta_v_res"]
             if tto.optimize_camera:
                 cam = opt_params["cam"]
-                cam = jnp.concatenate(
-                    [cam[..., :3],
-                     cam[..., 3:] / jnp.maximum(
-                         jnp.linalg.norm(cam[..., 3:], axis=-1, keepdims=True), 1e-12
-                     )],
-                    axis=-1,
-                )
+                q = cam[..., 3:]
+                qn = jnp.sqrt(
+                    jnp.maximum((q * q).sum(-1, keepdims=True), 1e-24)
+                )  # finite grad at q == 0 (norm's VJP is NaN there)
+                cam = jnp.concatenate([cam[..., :3], q / qn], axis=-1)
             else:
                 cam = cam_pred
             pred_v = solve(delta_res)

@@ -62,6 +62,20 @@ def uniform_laplacian(faces: np.ndarray, num_verts: int) -> np.ndarray:
     return L.astype(np.float32)
 
 
+def safe_norm(x: jax.Array, axis=-1, keepdims: bool = False,
+              eps: float = 1e-12) -> jax.Array:
+    """L2 norm with a finite gradient at 0.
+
+    jnp.linalg.norm's VJP is d/||d|| — NaN when ||d|| == 0 even behind a
+    `maximum` guard (the chain multiplies 0 * NaN). sqrt(max(sum sq, eps^2))
+    is bit-identical forward for norms >= eps and has gradient exactly 0 at
+    the degenerate point (a collapsed edge / degenerate triangle under
+    large deformations poisoned a 40-epoch multiframe run otherwise).
+    """
+    return jnp.sqrt(jnp.maximum((x * x).sum(axis=axis, keepdims=keepdims),
+                                eps * eps))
+
+
 def cot_laplacian_weights(verts: jax.Array, faces: jax.Array) -> jax.Array:
     """Dense symmetric cotangent weight matrix W (V, V), differentiable JAX.
 
@@ -72,9 +86,9 @@ def cot_laplacian_weights(verts: jax.Array, faces: jax.Array) -> jax.Array:
     V = verts.shape[0]
     fv = verts[faces]  # (F, 3, 3)
     v0, v1, v2 = fv[:, 0], fv[:, 1], fv[:, 2]
-    A = jnp.linalg.norm(v1 - v2, axis=1)
-    B = jnp.linalg.norm(v0 - v2, axis=1)
-    C = jnp.linalg.norm(v0 - v1, axis=1)
+    A = safe_norm(v1 - v2, axis=1)
+    B = safe_norm(v0 - v2, axis=1)
+    C = safe_norm(v0 - v1, axis=1)
     s = 0.5 * (A + B + C)
     area = jnp.sqrt(jnp.clip(s * (s - A) * (s - B) * (s - C), 1e-12))
     A2, B2, C2 = A * A, B * B, C * C
@@ -108,7 +122,7 @@ def uniform_laplacian_smoothing(verts: jax.Array, L: jax.Array) -> jax.Array:
     (pytorch3d: per-vertex norms weighted 1/V per mesh, summed, / N.)
     """
     Lv = jnp.einsum("ij,bjc->bic", L, verts)
-    return jnp.linalg.norm(Lv, axis=-1).mean()
+    return safe_norm(Lv, axis=-1).mean()
 
 
 def cot_laplacian_smoothing(verts: jax.Array, faces: jax.Array) -> jax.Array:
@@ -125,7 +139,7 @@ def cot_laplacian_smoothing(verts: jax.Array, faces: jax.Array) -> jax.Array:
         norm_w = W.sum(axis=1, keepdims=True)
         norm_w = jnp.where(norm_w > 0, 1.0 / norm_w, 0.0)
         Lv = (W @ v) * norm_w - v
-        return jnp.linalg.norm(Lv, axis=-1).mean()
+        return safe_norm(Lv, axis=-1).mean()
 
     return jax.vmap(one)(verts).mean()
 
@@ -173,11 +187,11 @@ def face_normals(verts: jax.Array, faces: jax.Array) -> jax.Array:
     """Unit face normals (..., F, 3)."""
     fv = verts[..., faces, :]
     n = jnp.cross(fv[..., 1, :] - fv[..., 0, :], fv[..., 2, :] - fv[..., 0, :])
-    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    return n / safe_norm(n, axis=-1, keepdims=True)
 
 
 def edge_lengths(verts: jax.Array, edges: jax.Array) -> jax.Array:
     """Edge lengths (..., E) given verts (..., V, 3) and edges (E, 2)."""
     v0 = verts[..., edges[:, 0], :]
     v1 = verts[..., edges[:, 1], :]
-    return jnp.linalg.norm(v0 - v1, axis=-1)
+    return safe_norm(v0 - v1, axis=-1)

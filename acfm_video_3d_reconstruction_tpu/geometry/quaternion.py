@@ -37,8 +37,10 @@ def quat_conj(q: jax.Array) -> jax.Array:
 
 def quat_normalize(q: jax.Array, eps: float = 1e-12) -> jax.Array:
     """Unit-normalize along the last axis (torch F.normalize semantics)."""
-    n = jnp.linalg.norm(q, axis=-1, keepdims=True)
-    return q / jnp.maximum(n, eps)
+    # sqrt(max(sumsq, eps^2)): finite gradient at q == 0 (norm's VJP is
+    # q/||q|| — NaN at the origin even behind the maximum guard)
+    n = jnp.sqrt(jnp.maximum((q * q).sum(-1, keepdims=True), eps * eps))
+    return q / n
 
 
 def standardize_quaternion(q: jax.Array) -> jax.Array:

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import camera as cam_utils
+from ..geometry.mesh_ops import safe_norm
 from ..geometry import quaternion as quat
 from ..ops import rasterizer as ras
 from ..ops.grid_sample import grid_sample
@@ -129,7 +130,7 @@ def template_edge_loss(verts: jax.Array, template_verts: jax.Array, edges: jax.A
         return (d * d).sum(-1)
 
     diff = sq_len(verts) - sq_len(template_verts)
-    return jnp.linalg.norm(diff.reshape(-1)) / verts.shape[0]
+    return safe_norm(diff.reshape(-1)) / verts.shape[0]
 
 
 def locally_rigid_loss(verts: jax.Array, template_verts: jax.Array, edges: jax.Array):
@@ -140,7 +141,7 @@ def locally_rigid_loss(verts: jax.Array, template_verts: jax.Array, edges: jax.A
     """
     def length(v):
         d = v[..., edges[:, 0], :] - v[..., edges[:, 1], :]
-        return jnp.linalg.norm(d, axis=-1)
+        return safe_norm(d, axis=-1)
 
     diff = length(verts) - length(template_verts)
     return (diff**2).sum() / verts.shape[0]
@@ -148,7 +149,7 @@ def locally_rigid_loss(verts: jax.Array, template_verts: jax.Array, edges: jax.A
 
 def deform_l2reg(V: jax.Array):
     """Mean L2 norm of per-handle offsets (loss_utils.py:322-327)."""
-    return jnp.linalg.norm(V.reshape(-1, V.shape[-1]), axis=-1).mean()
+    return safe_norm(V.reshape(-1, V.shape[-1]), axis=-1).mean()
 
 
 def entropy_loss(A: jax.Array):
@@ -165,8 +166,8 @@ def triangle_loss(verts: jax.Array, edges2verts: jax.Array):
     vD = verts[..., edges2verts[:, 3], :]
     n1 = jnp.cross(vD - vA, vB - vA)
     n2 = jnp.cross(vB - vA, vC - vA)
-    n1 = n1 / jnp.maximum(jnp.linalg.norm(n1, axis=-1, keepdims=True), 1e-12)
-    n2 = n2 / jnp.maximum(jnp.linalg.norm(n2, axis=-1, keepdims=True), 1e-12)
+    n1 = n1 / safe_norm(n1, axis=-1, keepdims=True)
+    n2 = n2 / safe_norm(n2, axis=-1, keepdims=True)
     dot = (n1 * n2).sum(-1)
     return ((1.0 - dot) ** 2).mean()
 
@@ -219,7 +220,9 @@ def texture_cycle_loss(textures_colors: jax.Array, batch: int, num_frames: int):
     t_c = textures_colors.reshape(batch, num_frames, -1, 3)
     t_c = jnp.swapaxes(t_c, 1, 2)  # (B, F*Ts*Ts, T, 3)
     diff = t_c[..., :-1, :] - t_c[..., 1:, :]
-    return jnp.linalg.norm(diff, axis=-1).mean()
+    # safe_norm: adjacent-frame texture colors are exactly equal at init
+    # (shared decoder), where norm's VJP would be 0/0
+    return safe_norm(diff, axis=-1).mean()
 
 
 # ------------------------------------------------------------ optical flow --

@@ -29,8 +29,8 @@ class QuatPredictor(nn.Module):
             bias_init=lambda *_: jnp.asarray([1e-2, 0.0, 0.0, 0.0], self.dtype),
             dtype=self.dtype,
         )(feat)
-        n = jnp.linalg.norm(q, axis=-1, keepdims=True)
-        return q / jnp.maximum(n, 1e-12)
+        n = jnp.sqrt(jnp.maximum((q * q).sum(-1, keepdims=True), 1e-24))
+        return q / n
 
 
 class ScalePredictor(nn.Module):

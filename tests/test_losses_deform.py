@@ -187,5 +187,63 @@ class TestScreenedPoisson:
         assert np.abs(np.asarray(g2)).max() > 0
 
 
+class TestDegenerateGradients:
+    """Every norm-bearing loss must have FINITE gradients at degenerate
+    geometry (collapsed edges, degenerate triangles, zero offsets):
+    jnp.linalg.norm's VJP is NaN at 0 even behind a maximum() guard, which
+    poisoned a 40-epoch multiframe run (epoch 29) before safe_norm."""
+
+    def test_rigid_and_edge_losses_finite_at_collapsed_edge(self):
+        v, f = icosphere.icosphere(1)
+        edges = mesh_ops.compute_edges(f)
+        verts = jnp.asarray(v, jnp.float32)[None]
+        # collapse one edge exactly: both endpoints bitwise equal
+        collapsed = verts.at[:, edges[0, 1]].set(verts[:, edges[0, 0]])
+        for loss in (
+            lambda x: L.locally_rigid_loss(x, verts, jnp.asarray(edges)),
+            lambda x: L.template_edge_loss(x, x, jnp.asarray(edges)),
+        ):
+            g = jax.grad(loss)(collapsed)
+            assert np.all(np.isfinite(np.asarray(g))), loss
+
+    def test_triangle_loss_finite_at_degenerate_triangle(self):
+        v, f = icosphere.icosphere(1)
+        e2v = jnp.asarray(mesh_ops.compute_edges2verts(f))
+        verts = jnp.asarray(v, jnp.float32)[None]
+        # make the first dihedral's four vertices exactly collinear
+        deg = verts.at[:, e2v[0, 1]].set(verts[:, e2v[0, 0]])
+        deg = deg.at[:, e2v[0, 2]].set(verts[:, e2v[0, 0]])
+        deg = deg.at[:, e2v[0, 3]].set(verts[:, e2v[0, 0]])
+        g = jax.grad(lambda x: L.triangle_loss(x, e2v))(deg)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_deform_l2reg_finite_at_zero_offsets(self):
+        V = jnp.zeros((2, 6, 3))
+        g = jax.grad(lambda x: L.deform_l2reg(x))(V)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_quat_normalize_finite_at_zero(self):
+        from acfm_video_3d_reconstruction_tpu.geometry import quaternion as Q
+
+        g = jax.grad(lambda q: Q.quat_normalize(q).sum())(jnp.zeros((4,)))
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_smoothing_losses_finite_on_flat_vertex(self):
+        v, f = icosphere.icosphere(1)
+        Lap = jnp.asarray(mesh_ops.uniform_laplacian(f, v.shape[0]))
+        verts = jnp.asarray(v, jnp.float32)[None]
+        # a vertex equal to the mean of its neighbors gives Lv == 0 rows;
+        # simplest exact case: all vertices at one point
+        flat = jnp.zeros_like(verts)
+        g = jax.grad(
+            lambda x: mesh_ops.uniform_laplacian_smoothing(x, Lap)
+        )(flat)
+        assert np.all(np.isfinite(np.asarray(g)))
+        g2 = jax.grad(
+            lambda x: mesh_ops.cot_laplacian_smoothing(x, jnp.asarray(f))
+        )(flat)
+        assert np.all(np.isfinite(np.asarray(g2)))
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
