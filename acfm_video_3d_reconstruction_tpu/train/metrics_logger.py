@@ -9,6 +9,7 @@ object per log call), a human-readable line mirrors the reference's
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from typing import Mapping
@@ -29,6 +30,19 @@ class MetricsLogger:
         rec = {"epoch": epoch, "step": step, "time_per_iter": round(dt, 4)}
         for k, v in scalars.items():
             rec[k] = float(v)
+        # NaN watchdog: a non-finite loss means the params are already
+        # poisoned — fail fast with context instead of silently training
+        # on NaN and overwriting good checkpoints (a 40-epoch run once
+        # went NaN at epoch 29 and kept saving for 11 more epochs).
+        bad = [k for k, v in rec.items()
+               if isinstance(v, float) and not math.isfinite(v)]
+        if bad:
+            self._f.write(json.dumps(rec) + "\n")
+            self._f.flush()
+            raise FloatingPointError(
+                f"non-finite training metrics at epoch {epoch} step {step}: "
+                f"{bad} (full record in {self.path})"
+            )
         if "total_loss" in rec:
             self.smoothed_total = 0.99 * self.smoothed_total + 0.01 * rec["total_loss"]
             rec["smoothed_total_loss"] = self.smoothed_total

@@ -166,3 +166,22 @@ class TestPlotMetrics:
         )
         assert r.returncode == 0, r.stderr
         assert out.exists() and out.stat().st_size > 1000
+
+
+class TestNaNWatchdog:
+    def test_logger_raises_on_nonfinite(self, tmp_path):
+        """A non-finite loss must fail fast (poisoned params would
+        otherwise keep overwriting good checkpoints — seen at epoch 29
+        of a 40-epoch run before safe_norm)."""
+        import pytest
+
+        from acfm_video_3d_reconstruction_tpu.train.metrics_logger import (
+            MetricsLogger,
+        )
+
+        lg = MetricsLogger(str(tmp_path))
+        lg.log(0, 1, {"total_loss": 1.0}, echo=False)
+        with pytest.raises(FloatingPointError, match="total_loss"):
+            lg.log(0, 2, {"total_loss": float("nan")}, echo=False)
+        with pytest.raises(FloatingPointError, match="kp_loss"):
+            lg.log(0, 3, {"kp_loss": float("inf")}, echo=False)

@@ -210,6 +210,10 @@ def main():
                          "raw pkl frames with it; use 64 for CPU-scale runs)")
     ap.add_argument("--guesses", type=int, default=4,
                     help="camera hypotheses in the multiplex")
+    ap.add_argument("--skip_train", action="store_true",
+                    help="reuse an existing generated tree + trained "
+                         "checkpoint under --root (iterate on eval columns "
+                         "without the 40-epoch retrain)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (sets ACFM_FORCE_CPU for "
                          "this process and the evaluate-CLI subprocesses; "
@@ -232,8 +236,9 @@ def main():
         subdivide=3, num_lbs=NUM_LBS, tex_size=2, num_kps=NUM_KPS,
         kp_vertex_ids=[np.asarray([a]) for a in ANCHORS],
     )
-    print("generating mini-TigDog ...", flush=True)
-    generate(args.root, template)
+    if not args.skip_train:
+        print("generating mini-TigDog ...", flush=True)
+        generate(args.root, template)
 
     o = cli.default_opts()
     o.update(
@@ -266,13 +271,18 @@ def main():
         save_latest_freq=200,
     )
 
-    before = run_eval(o, [])
-    print("before (random init):", before, flush=True)
+    if args.skip_train:
+        before = {"mean_iou": float("nan"), "pck_0.1": float("nan"),
+                  "pck_0.15": float("nan")}
+        dt = 0.0
+    else:
+        before = run_eval(o, [])
+        print("before (random init):", before, flush=True)
 
-    t0 = time.perf_counter()
-    cli.train(o)
-    dt = time.perf_counter() - t0
-    print(f"trained {args.epochs} epochs in {dt:.1f}s", flush=True)
+        t0 = time.perf_counter()
+        cli.train(o)
+        dt = time.perf_counter() - t0
+        print(f"trained {args.epochs} epochs in {dt:.1f}s", flush=True)
 
     after = run_eval(o, [])
     print("after (regressed cam):", after, flush=True)
@@ -280,6 +290,13 @@ def main():
         o, ["--optimize", "--num_optim_iter", str(args.num_optim_iter)]
     )
     print("after + TTO:", after_tto, flush=True)
+    # TTO over shape AND camera — the reference's own tiger recipe
+    # (docs/setup_video.md: --optimize --optimize_camera --num_optim_iter 50)
+    after_tto_cam = run_eval(
+        o, ["--optimize", "--optimize_camera",
+            "--num_optim_iter", str(args.num_optim_iter)]
+    )
+    print("after + TTO(shape+camera):", after_tto_cam, flush=True)
     # train-split fit through the argmax multiplex camera (the reference
     # benchmark's train-split mode, predictor.py:239-252) — isolates multiplex
     # + shape convergence from camera-regressor generalization
@@ -301,16 +318,19 @@ def main():
         f"frames, {IMG}^2) -> benchmark evaluation per "
         "multiframe/benchmark/evaluate.py:227-245 (frame-0 IoU, pixel PCK), "
         "with and without test-time optimization.\n\n"
-        "| metric | random init | trained | trained + TTO | train split (argmax mpx) | held-out, GT camera (diagnostic) |\n"
-        "|---|---|---|---|---|---|\n"
+        "| metric | random init | trained | trained + TTO | + TTO(shape+camera) | train split (argmax mpx) | held-out, GT camera (diagnostic) |\n"
+        "|---|---|---|---|---|---|---|\n"
         f"| mean mask IoU | {before['mean_iou']:.3f} | {after['mean_iou']:.3f} "
-        f"| {after_tto['mean_iou']:.3f} | {after_train['mean_iou']:.3f} "
+        f"| {after_tto['mean_iou']:.3f} | {after_tto_cam['mean_iou']:.3f} "
+        f"| {after_train['mean_iou']:.3f} "
         f"| {after_gtcam['mean_iou']:.3f} |\n"
         f"| PCK@0.1 | {before['pck_0.1']:.3f} | {after['pck_0.1']:.3f} "
-        f"| {after_tto['pck_0.1']:.3f} | {after_train['pck_0.1']:.3f} "
+        f"| {after_tto['pck_0.1']:.3f} | {after_tto_cam['pck_0.1']:.3f} "
+        f"| {after_train['pck_0.1']:.3f} "
         f"| {after_gtcam['pck_0.1']:.3f} |\n"
         f"| PCK@0.15 | {before['pck_0.15']:.3f} | {after['pck_0.15']:.3f} "
-        f"| {after_tto['pck_0.15']:.3f} | {after_train['pck_0.15']:.3f} "
+        f"| {after_tto['pck_0.15']:.3f} | {after_tto_cam['pck_0.15']:.3f} "
+        f"| {after_train['pck_0.15']:.3f} "
         f"| {after_gtcam['pck_0.15']:.3f} |\n\n"
         f"train wall-clock {dt:.1f}s. The reference publishes no multiframe "
         "IoU/PCK numbers in-repo (its benchmark prints them per run, "
