@@ -54,7 +54,11 @@ class AlexNetFeatures(nn.Module):
 
 
 def _unit_normalize(feat: jax.Array, eps: float = 1e-10) -> jax.Array:
-    norm = jnp.sqrt((feat**2).sum(axis=-1, keepdims=True))
+    # sqrt(max(sumsq, eps^2)): an all-zero post-ReLU feature vector at a
+    # spatial position otherwise gives sqrt a NaN gradient (0/0); forward
+    # matches the reference's feat/(norm+eps) to within eps
+    norm = jnp.sqrt(jnp.maximum((feat**2).sum(axis=-1, keepdims=True),
+                                eps * eps))
     return feat / (norm + eps)
 
 
