@@ -30,6 +30,47 @@ def _save_dir(cfg: cfg_lib.Config) -> str:
     return osp.join(cfg.train.checkpoint_dir, cfg.train.name)
 
 
+def _nan_dump_dir() -> Optional[str]:
+    """ACFM_NAN_DUMP_DIR: per-step non-finite-loss detection (debug aid).
+
+    When set, every train step's total_loss is checked on host (one sync
+    per step — debugging cost, so env-gated); on the FIRST non-finite
+    value the PRE-step state and the offending batch are pickled to the
+    directory and training aborts. The saved pair reproduces the bad
+    gradient step offline (dissect per-loss grads to locate the NaN)."""
+    import os
+
+    return os.environ.get("ACFM_NAN_DUMP_DIR") or None
+
+
+def _check_finite_or_dump(dump_dir, epoch, step, prev_pair, metrics):
+    import math
+    import os
+    import pickle
+
+    tl = float(jax.device_get(metrics["total_loss"]))
+    if math.isfinite(tl):
+        return
+    os.makedirs(dump_dir, exist_ok=True)
+    path = f"{dump_dir}/nan_step_{step}.pkl"
+    state, batch = prev_pair if prev_pair is not None else (None, None)
+    with open(path, "wb") as f:
+        pickle.dump(
+            {
+                "epoch": epoch,
+                "step": step,
+                "state": jax.device_get(state),
+                "batch": jax.device_get(batch),
+                "metrics": jax.device_get(metrics),
+            },
+            f,
+        )
+    raise FloatingPointError(
+        f"non-finite total_loss at epoch {epoch} step {step}; the "
+        f"poisoning step's pre-step state + batch dumped to {path}"
+    )
+
+
 def to_device(mesh, batch: dict) -> dict:
     return pmesh.shard_batch(mesh, batch)
 
@@ -179,6 +220,8 @@ def run_multiframe_training(
 
     step_cache: dict = {}
 
+    nan_dump = _nan_dump_dir()
+
     def get_step(k: int, drop_deform: bool, detach_camera: bool = False,
                  use_gtpose: bool = False):
         key = (k, drop_deform, detach_camera, use_gtpose)
@@ -187,6 +230,8 @@ def run_multiframe_training(
                 mods, tx_full, k=k, drop_deform=drop_deform,
                 detach_camera=detach_camera, use_gtpose=use_gtpose,
                 face_chunk=face_chunk,
+                # debug mode keeps pre-step buffers alive for the dump
+                donate=not nan_dump,
             )
         return step_cache[key]
 
@@ -246,6 +291,7 @@ def run_multiframe_training(
         checkpoints.save(tr.checkpoint_dir, tr.name, "texture_warmup", state)
 
     n_epochs = num_epochs if num_epochs is not None else tr.num_epochs
+    prev_pair = None  # debug mode: last step's (pre-step state, batch)
     for epoch in range(tr.num_pretrain_epochs, n_epochs):
         use_gt = schedules.use_gtpose_at(epoch, tr.use_gtpose, finetune_camera)
         # the GT-pose projection path is single-hypothesis (the reference
@@ -256,7 +302,15 @@ def run_multiframe_training(
         step = get_step(k, drop_deform=True, use_gtpose=use_gt)
         for batch in loader:
             db = prep(batch)
-            state, metrics = step(state, db)
+            new_state, metrics = step(state, db)
+            if nan_dump:
+                # metrics NaN at step N => params were poisoned by the
+                # UPDATE of step N-1 => culprit pair is prev_pair
+                _check_finite_or_dump(
+                    nan_dump, epoch, total_steps + 1, prev_pair, metrics
+                )
+                prev_pair = (state, db)
+            state = new_state
             total_steps += 1
             if total_steps % log_every == 0:
                 logger.log(epoch, total_steps, jax.device_get(metrics))

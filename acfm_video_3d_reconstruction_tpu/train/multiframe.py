@@ -565,8 +565,13 @@ def make_train_step(
     detach_camera: bool = False,
     use_gtpose: bool = False,
     face_chunk: int = 128,
+    donate: bool = True,
 ):
-    """Main-loop step (optimizer_full over model + multiplex tables)."""
+    """Main-loop step (optimizer_full over model + multiplex tables).
+
+    donate=False keeps the input state's buffers alive after the call
+    (2x state memory) — used by the driver's ACFM_NAN_DUMP_DIR debug mode
+    so the pre-step state can be dumped when a step produces NaN."""
 
     def step(state: MFTrainState, batch: dict):
         def loss_fn(trainables):
@@ -602,7 +607,7 @@ def make_train_step(
         )
         return new_state, aux["metrics"]
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def make_warmup_step(
