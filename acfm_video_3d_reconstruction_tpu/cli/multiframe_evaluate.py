@@ -46,6 +46,14 @@ flags.DEFINE_boolean(
     "a perfect camera regressor, for separating camera error from shape "
     "error on held-out splits",
 )
+flags.DEFINE_boolean(
+    "gauge_align", False,
+    "with --use_gt_camera: Kabsch-align the learned mean shape to the GT "
+    "template and compose the similarity correction into the GT cameras. "
+    "The multiplex fixes shape+cameras only up to a global similarity, so "
+    "raw GT cameras are NOT a ceiling once the learned gauge drifts; this "
+    "makes the diagnostic gauge-invariant",
+)
 
 
 def main(_):
@@ -134,6 +142,13 @@ def main(_):
             cam_pred = jnp.asarray(
                 np.asarray(batch["sfm_pose"], np.float32).reshape(-1, 7)
             )
+            if FLAGS.gauge_align:
+                from ..eval.predictor import gauge_align_cameras
+
+                cam_pred = gauge_align_cameras(
+                    cam_pred, jnp.asarray(template.verts, jnp.float32),
+                    mean_shape,
+                )
         elif FLAGS.use_argmax_camera:
             from ..eval.predictor import argmax_multiplex_camera
 

@@ -176,3 +176,57 @@ def argmax_multiplex_camera(mpx, frames_idx, scale_lr_decay: float = 0.05):
     sel = mpx_lib.topk_hypotheses(mpx, frames_idx, 1)  # (1, BT)
     raw = mpx_lib.select_hypotheses(mpx.cams[:, frames_idx.reshape(-1)], sel)[0]
     return cam_utils.decode_quat_camera(raw, scale_lr_decay=scale_lr_decay)
+
+
+def similarity_kabsch(src: jnp.ndarray, dst: jnp.ndarray):
+    """Similarity transform (s, R, c) minimizing ||s R src + c - dst||^2.
+
+    src/dst: (N, 3) point sets in correspondence. Returns (s, R (3,3), c (3,))
+    with det(R) = +1 (proper rotation; reflections are folded into the sign
+    fix of the smallest singular vector, standard Umeyama/Kabsch).
+
+    DIAGNOSTIC helper, no reference analog: the camera multiplex determines
+    shape+cameras only up to a global similarity (gauge freedom), so the
+    learned canonical frame drifts from the data generator's frame. This
+    estimates that drift from the learned mean shape vs the GT template.
+    """
+    src = jnp.asarray(src, jnp.float32)
+    dst = jnp.asarray(dst, jnp.float32)
+    mu_s = src.mean(0)
+    mu_d = dst.mean(0)
+    X = src - mu_s
+    Y = dst - mu_d
+    H = X.T @ Y  # (3, 3)
+    U, S, Vt = jnp.linalg.svd(H)
+    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
+    D = jnp.diag(jnp.asarray([1.0, 1.0, 1.0]) * jnp.asarray([1.0, 1.0, d]))
+    R = Vt.T @ D @ U.T
+    s = (S * jnp.asarray([1.0, 1.0, d])).sum() / jnp.maximum(
+        (X * X).sum(), 1e-12
+    )
+    c = mu_d - s * (R @ mu_s)
+    return s, R, c
+
+
+def gauge_align_cameras(cams_gt: jnp.ndarray, template_verts, mean_shape):
+    """Compose the learned-gauge correction into GT cameras (diagnostic).
+
+    The generator's GT cameras project GT-gauge points: x = s_g R(q_g) v + t_g.
+    If the learned mean shape drifted by a similarity, mean_shape ~= s_d R_d
+    template + c_d, then projecting LEARNED verts in the GT image frame needs
+      scale' = s_g / s_d,  q' = q_g (x) conj(q_d),
+      t' = t_g - scale' * (R(q') c_d)_xy.
+    Without this correction the GT-camera column is NOT a ceiling — gauge
+    drift alone sinks it below the predicted-camera PCK.
+    """
+    from ..geometry import quaternion as quat
+
+    s_d, R_d, c_d = similarity_kabsch(template_verts, mean_shape)
+    q_d = quat.matrix_to_quat(R_d)
+    q_corr = quat.quat_normalize(
+        quat.hamilton_product(cams_gt[..., 3:7], quat.quat_conj(q_d))
+    )
+    scale = cams_gt[..., 0:1] / jnp.maximum(s_d, 1e-12)
+    rot_c = quat.quat_rotate(c_d[None, None, :], q_corr)[..., 0, :2]
+    trans = cams_gt[..., 1:3] - scale * rot_c
+    return jnp.concatenate([scale, trans, q_corr], axis=-1)
