@@ -214,6 +214,10 @@ def main():
                     help="reuse an existing generated tree + trained "
                          "checkpoint under --root (iterate on eval columns "
                          "without the 40-epoch retrain)")
+    ap.add_argument("--skip_gen", action="store_true",
+                    help="reuse an existing generated pkl tree under --root "
+                         "but retrain from scratch (generation dominates "
+                         "wall-clock at --videos >> 60 on the tunneled chip)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (sets ACFM_FORCE_CPU for "
                          "this process and the evaluate-CLI subprocesses; "
@@ -236,7 +240,7 @@ def main():
         subdivide=3, num_lbs=NUM_LBS, tex_size=2, num_kps=NUM_KPS,
         kp_vertex_ids=[np.asarray([a]) for a in ANCHORS],
     )
-    if not args.skip_train:
+    if not args.skip_train and not args.skip_gen:
         print("generating mini-TigDog ...", flush=True)
         generate(args.root, template)
 
@@ -302,6 +306,12 @@ def main():
     # + shape convergence from camera-regressor generalization
     after_train = run_eval(o, ["--split", "train", "--use_argmax_camera"])
     print("train split (argmax multiplex):", after_train, flush=True)
+    # train-split fit through the REGRESSED camera — against the argmax
+    # column this separates "the camera regressor is weak even on frames it
+    # trained on (distillation gap)" from "held-out videos are harder
+    # (generalization gap)"
+    after_train_reg = run_eval(o, ["--split", "train"])
+    print("train split (regressed cam):", after_train_reg, flush=True)
     # held-out PCK ceiling with a perfect camera (diagnostic, no reference
     # analog): if this is high while the predicted-camera PCK is low, the
     # held-out gap is camera-regressor generalization, not shape quality
@@ -324,21 +334,24 @@ def main():
         f"frames, {IMG}^2) -> benchmark evaluation per "
         "multiframe/benchmark/evaluate.py:227-245 (frame-0 IoU, pixel PCK), "
         "with and without test-time optimization.\n\n"
-        "| metric | random init | trained | trained + TTO | + TTO(shape+camera) | train split (argmax mpx) | held-out, GT camera (diagnostic) | held-out, gauge-aligned GT camera |\n"
-        "|---|---|---|---|---|---|---|---|\n"
+        "| metric | random init | trained | trained + TTO | + TTO(shape+camera) | train split (argmax mpx) | train split (regressed cam) | held-out, GT camera (diagnostic) | held-out, gauge-aligned GT camera |\n"
+        "|---|---|---|---|---|---|---|---|---|\n"
         f"| mean mask IoU | {before['mean_iou']:.3f} | {after['mean_iou']:.3f} "
         f"| {after_tto['mean_iou']:.3f} | {after_tto_cam['mean_iou']:.3f} "
         f"| {after_train['mean_iou']:.3f} "
+        f"| {after_train_reg['mean_iou']:.3f} "
         f"| {after_gtcam['mean_iou']:.3f} "
         f"| {after_gtcam_al['mean_iou']:.3f} |\n"
         f"| PCK@0.1 | {before['pck_0.1']:.3f} | {after['pck_0.1']:.3f} "
         f"| {after_tto['pck_0.1']:.3f} | {after_tto_cam['pck_0.1']:.3f} "
         f"| {after_train['pck_0.1']:.3f} "
+        f"| {after_train_reg['pck_0.1']:.3f} "
         f"| {after_gtcam['pck_0.1']:.3f} "
         f"| {after_gtcam_al['pck_0.1']:.3f} |\n"
         f"| PCK@0.15 | {before['pck_0.15']:.3f} | {after['pck_0.15']:.3f} "
         f"| {after_tto['pck_0.15']:.3f} | {after_tto_cam['pck_0.15']:.3f} "
         f"| {after_train['pck_0.15']:.3f} "
+        f"| {after_train_reg['pck_0.15']:.3f} "
         f"| {after_gtcam['pck_0.15']:.3f} "
         f"| {after_gtcam_al['pck_0.15']:.3f} |\n\n"
         f"train wall-clock {dt:.1f}s. The reference publishes no multiframe "
