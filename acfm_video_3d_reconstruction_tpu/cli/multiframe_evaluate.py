@@ -60,6 +60,11 @@ def main(_):
     import jax
     import jax.numpy as jnp
 
+    if FLAGS.gauge_align and not FLAGS.use_gt_camera:
+        raise app.UsageError(
+            "--gauge_align only applies to the GT-camera diagnostic; "
+            "pass --use_gt_camera with it (alone it would do nothing)"
+        )
     opts = opts_from_flags()
     cfg = build_cfg(opts)
     template = build_mf_template(cfg)
@@ -133,6 +138,20 @@ def main(_):
         pred_v = screened_poisson_solve(mean_shape, lbs, out["delta_v"], Lcot)
         return out, mean_shape, lbs, vert2kp, pred_v
 
+    gauge_corr = None
+    if FLAGS.use_gt_camera and FLAGS.gauge_align:
+        # batch-invariant (template vs learned mean shape): compute the
+        # Kabsch similarity once; per-batch work is only the cheap camera
+        # composition in apply_gauge_correction
+        from ..eval.predictor import gauge_correction
+
+        mean_shape0 = model.apply(
+            {"params": state.params}, method=model.get_mean_shape
+        )
+        gauge_corr = gauge_correction(
+            jnp.asarray(template.verts, jnp.float32), mean_shape0
+        )
+
     stats = eval_metrics.BenchStats()
     for i, batch in enumerate(loader):
         imgs = jnp.asarray(batch["img"].reshape(-1, img_size, img_size, 3))
@@ -142,13 +161,10 @@ def main(_):
             cam_pred = jnp.asarray(
                 np.asarray(batch["sfm_pose"], np.float32).reshape(-1, 7)
             )
-            if FLAGS.gauge_align:
-                from ..eval.predictor import gauge_align_cameras
+            if gauge_corr is not None:
+                from ..eval.predictor import apply_gauge_correction
 
-                cam_pred = gauge_align_cameras(
-                    cam_pred, jnp.asarray(template.verts, jnp.float32),
-                    mean_shape,
-                )
+                cam_pred = apply_gauge_correction(cam_pred, gauge_corr)
         elif FLAGS.use_argmax_camera:
             from ..eval.predictor import argmax_multiplex_camera
 

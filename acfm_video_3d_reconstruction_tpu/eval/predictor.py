@@ -71,11 +71,17 @@ def make_tto_step_fn(
     tto: TTOConfig,
     num_frames: int,
     face_chunk: int = 128,
+    trace_vert2kp=None,
 ):
     """Build the jitted TTO refiner.
 
     Returns fn(mean_shape, lbs, delta_v_res, cam_pred, batch) ->
     (pred_v, cam_pred, final_loss).
+
+    With trace_vert2kp (the (num_kps, V) kp regressor), the loop runs as a
+    scan and the return gains a 4th element: a per-iteration diagnostic dict
+    {loss (N,), iou (N, BT), kp_pred (N, BT, K, 2), cam (N, BT, 7)} for
+    analyzing TTO dynamics (e.g. the camera-in-the-loop PCK question).
     """
     t = mods.template
     faces = jnp.asarray(t.faces)
@@ -108,17 +114,19 @@ def make_tto_step_fn(
             sol = jsl.cho_solve(chol, rhs_flat)
             return jnp.moveaxis(sol.reshape(mean_shape.shape[0], BT, 3), 1, 0)
 
+        def decode_cam(opt_params):
+            if not tto.optimize_camera:
+                return cam_pred
+            cam = opt_params["cam"]
+            q = cam[..., 3:]
+            qn = jnp.sqrt(
+                jnp.maximum((q * q).sum(-1, keepdims=True), 1e-24)
+            )  # finite grad at q == 0 (norm's VJP is NaN there)
+            return jnp.concatenate([cam[..., :3], q / qn], axis=-1)
+
         def loss_fn(opt_params):
             delta_res = opt_params["delta_v_res"]
-            if tto.optimize_camera:
-                cam = opt_params["cam"]
-                q = cam[..., 3:]
-                qn = jnp.sqrt(
-                    jnp.maximum((q * q).sum(-1, keepdims=True), 1e-24)
-                )  # finite grad at q == 0 (norm's VJP is NaN there)
-                cam = jnp.concatenate([cam[..., :3], q / qn], axis=-1)
-            else:
-                cam = cam_pred
+            cam = decode_cam(opt_params)
             pred_v = solve(delta_res)
             proj_v = cam_utils.orthographic_proj_withz(pred_v, cam, offset_z=tto.offset_z)
             mask_pred, pix_to_face, vis = ras.soft_silhouette_vis(
@@ -144,27 +152,62 @@ def make_tto_step_fn(
                     face_chunk=face_chunk,
                 )
                 total = total + tto.of_wt * of_loss
-            return total
+            if trace_vert2kp is None:
+                return total
+            # per-iteration diagnostics (values only; grads flow from total)
+            hard = (mask_pred > 0.5).astype(jnp.float32)
+            inter = (hard * masks).sum((1, 2))
+            union = jnp.maximum((hard + masks - hard * masks).sum((1, 2)), 1e-9)
+            kp_verts = jnp.einsum("kv,bvc->bkc", trace_vert2kp, pred_v)
+            aux = {
+                "iou": inter / union,
+                "kp_pred": cam_utils.project_points(kp_verts, cam),
+                "cam": cam,
+            }
+            return total, aux
 
         opt_params = {"delta_v_res": jax.lax.stop_gradient(delta_v_res)}
         if tto.optimize_camera:
             opt_params["cam"] = jax.lax.stop_gradient(cam_pred)
         opt_state = tx.init(opt_params)
 
-        def body(_, carry):
+        if trace_vert2kp is None:
+            def body(_, carry):
+                opt_params, opt_state = carry
+                loss, grads = jax.value_and_grad(loss_fn)(opt_params)
+                updates, opt_state = tx.update(grads, opt_state)
+                opt_params = optax.apply_updates(opt_params, updates)
+                return opt_params, opt_state
+
+            opt_params, _ = jax.lax.fori_loop(
+                0, tto.num_iter, body, (opt_params, opt_state)
+            )
+            final_loss = loss_fn(opt_params)
+            pred_v = solve(opt_params["delta_v_res"])
+            # decode (quat-normalize) the returned camera: the raw Adam
+            # iterate's |q| drifts from 1 and quat_rotate scales by |q|^2,
+            # which silently mis-scales every downstream projection (the
+            # reference always projects through the normalized quat,
+            # multiframe/nnutils/predictor.py:307-309)
+            cam_out = decode_cam(opt_params)
+            return pred_v, cam_out, final_loss
+
+        def scan_body(carry, _):
             opt_params, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(opt_params)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                opt_params
+            )
             updates, opt_state = tx.update(grads, opt_state)
             opt_params = optax.apply_updates(opt_params, updates)
-            return opt_params, opt_state
+            return (opt_params, opt_state), {"loss": loss, **aux}
 
-        opt_params, _ = jax.lax.fori_loop(
-            0, tto.num_iter, body, (opt_params, opt_state)
+        (opt_params, _), trace = jax.lax.scan(
+            scan_body, (opt_params, opt_state), None, length=tto.num_iter
         )
-        final_loss = loss_fn(opt_params)
+        final_loss, _ = loss_fn(opt_params)
         pred_v = solve(opt_params["delta_v_res"])
-        cam_out = opt_params.get("cam", cam_pred)
-        return pred_v, cam_out, final_loss
+        cam_out = decode_cam(opt_params)
+        return pred_v, cam_out, final_loss, trace
 
     return jax.jit(refine)
 
@@ -199,13 +242,40 @@ def similarity_kabsch(src: jnp.ndarray, dst: jnp.ndarray):
     H = X.T @ Y  # (3, 3)
     U, S, Vt = jnp.linalg.svd(H)
     d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
-    D = jnp.diag(jnp.asarray([1.0, 1.0, 1.0]) * jnp.asarray([1.0, 1.0, d]))
+    D = jnp.diag(jnp.stack([1.0, 1.0, d]))  # standard diag(1,1,d) sign fix
     R = Vt.T @ D @ U.T
     s = (S * jnp.asarray([1.0, 1.0, d])).sum() / jnp.maximum(
         (X * X).sum(), 1e-12
     )
     c = mu_d - s * (R @ mu_s)
     return s, R, c
+
+
+def gauge_correction(template_verts, mean_shape):
+    """Precompute the learned-gauge drift (s_d, q_d, c_d) once per model.
+
+    Both inputs are batch-invariant (the GT template and the learned mean
+    shape), so callers evaluating many batches should compute this once and
+    apply only the cheap per-batch camera composition below.
+    """
+    from ..geometry import quaternion as quat
+
+    s_d, R_d, c_d = similarity_kabsch(template_verts, mean_shape)
+    return s_d, quat.matrix_to_quat(R_d), c_d
+
+
+def apply_gauge_correction(cams_gt: jnp.ndarray, corr):
+    """Compose a precomputed gauge correction into GT cameras (diagnostic)."""
+    from ..geometry import quaternion as quat
+
+    s_d, q_d, c_d = corr
+    q_corr = quat.quat_normalize(
+        quat.hamilton_product(cams_gt[..., 3:7], quat.quat_conj(q_d))
+    )
+    scale = cams_gt[..., 0:1] / jnp.maximum(s_d, 1e-12)
+    rot_c = quat.quat_rotate(c_d[None, None, :], q_corr)[..., 0, :2]
+    trans = cams_gt[..., 1:3] - scale * rot_c
+    return jnp.concatenate([scale, trans, q_corr], axis=-1)
 
 
 def gauge_align_cameras(cams_gt: jnp.ndarray, template_verts, mean_shape):
@@ -219,14 +289,4 @@ def gauge_align_cameras(cams_gt: jnp.ndarray, template_verts, mean_shape):
     Without this correction the GT-camera column is NOT a ceiling — gauge
     drift alone sinks it below the predicted-camera PCK.
     """
-    from ..geometry import quaternion as quat
-
-    s_d, R_d, c_d = similarity_kabsch(template_verts, mean_shape)
-    q_d = quat.matrix_to_quat(R_d)
-    q_corr = quat.quat_normalize(
-        quat.hamilton_product(cams_gt[..., 3:7], quat.quat_conj(q_d))
-    )
-    scale = cams_gt[..., 0:1] / jnp.maximum(s_d, 1e-12)
-    rot_c = quat.quat_rotate(c_d[None, None, :], q_corr)[..., 0, :2]
-    trans = cams_gt[..., 1:3] - scale * rot_c
-    return jnp.concatenate([scale, trans, q_corr], axis=-1)
+    return apply_gauge_correction(cams_gt, gauge_correction(template_verts, mean_shape))

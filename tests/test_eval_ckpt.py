@@ -66,6 +66,44 @@ class TestMetrics:
         assert r["pck_0.15"] == pytest.approx(ref15)
         assert r["pck_0.1"] == pytest.approx(0.75)
 
+    def test_monocular_evaluator_aggregation_same_fixture(self):
+        """The monocular evaluator path (kp_errors -> BenchStats) is pinned
+        by the same fixture as the multiframe one: it matches the reference
+        monocular aggregation (monocular/evaluate.py:95-104) wherever that
+        formula is defined (every kp visible somewhere, incl. a
+        partially-visible column), and unlike it stays finite when a column
+        is never visible (where the reference would print NaN)."""
+        # 3 samples, 3 kps in [-1,1] coords; kp 1 partially visible.
+        kp_gt = np.zeros((3, 3, 3))
+        kp_gt[..., 2] = np.asarray([[1.0, 1.0, 1.0],
+                                    [1.0, 0.0, 1.0],
+                                    [1.0, 1.0, 1.0]])
+        kp_pred = np.zeros((3, 3, 2))
+        kp_pred[:, 0, 0] = 0.1   # err 0.055 -> correct at 0.1
+        kp_pred[:, 1, 0] = 0.25  # err 0.1375 -> correct only at 0.15
+        kp_pred[:, 2, 0] = 0.5   # err 0.275 -> never correct
+        errs, vis = em.kp_errors(kp_pred, kp_gt, padding_frac=0.05)
+        stats = em.BenchStats()
+        stats.update(np.ones(3), errs, vis)
+        r = stats.results()
+        # literal reference monocular formula (evaluate.py:96-104)
+        n_vis_p = np.sum(vis, axis=0)
+        pck1_ref = (np.sum((errs < 0.1) * vis, axis=0) / n_vis_p).mean()
+        pck15_ref = (np.sum((errs < 0.15) * vis, axis=0) / n_vis_p).mean()
+        assert r["pck_0.1"] == pytest.approx(pck1_ref)
+        assert r["pck_0.15"] == pytest.approx(pck15_ref)
+        assert r["pck_0.1"] == pytest.approx(1.0 / 3.0)
+        assert r["pck_0.15"] == pytest.approx(2.0 / 3.0)
+        # never-visible column: reference monocular formula divides by zero;
+        # ours deletes the column (multiframe semantics) and stays finite
+        vis2 = vis.copy()
+        vis2[:, 2] = 0.0
+        stats2 = em.BenchStats()
+        stats2.update(np.ones(3), errs, vis2)
+        r2 = stats2.results()
+        assert np.isfinite(r2["pck_0.1"]) and np.isfinite(r2["pck_0.15"])
+        assert r2["pck_0.1"] == pytest.approx(0.5)
+
     def test_save_results_mat(self, tmp_path):
         """--save_mat writes a scipy-readable results.mat with the
         reference's bench_stats keys (benchmark/evaluate.py:225)."""
@@ -153,6 +191,34 @@ class TestTTO:
         m0, _ = ras.soft_silhouette(proj0, faces, 32, face_chunk=80)
         init_loss = float(jnp.abs(m0 - gt_mask).mean())
         assert float(final_loss) < init_loss, (float(final_loss), init_loss)
+
+        # camera-in-the-loop TTO must return a DECODED camera: quat_rotate
+        # scales by |q|^2, so an unnormalized Adam iterate silently
+        # mis-scales every downstream projection (the round-4 PCK-collapse
+        # bug; reference normalizes in-loop, predictor.py:307-309)
+        tto_cam = TTOConfig(num_iter=30, lr=2e-2, of_wt=0.0, edt_wt=0.0,
+                            bdt_wt=0.0, optimize_camera=True)
+        fn_cam = make_tto_step_fn(mods, tto_cam, num_frames=1, face_chunk=80)
+        _, cam_out2, loss2 = fn_cam(mean_shape, lbs, delta0, cam, batch)
+        qn = np.linalg.norm(np.asarray(cam_out2[:, 3:7]), axis=-1)
+        np.testing.assert_allclose(qn, 1.0, atol=1e-5)
+        assert float(loss2) < init_loss
+
+        # trace mode: scan-based loop returns per-iteration diagnostics and
+        # the same-shape outputs
+        v2kp = jnp.ones((2, mean_shape.shape[0]), jnp.float32) / mean_shape.shape[0]
+        fn_tr = make_tto_step_fn(mods, tto_cam, num_frames=1, face_chunk=80,
+                                 trace_vert2kp=v2kp)
+        pv, cam_tr, loss_tr, trace = fn_tr(mean_shape, lbs, delta0, cam, batch)
+        assert trace["loss"].shape == (30,)
+        assert trace["iou"].shape == (30, 2)
+        assert trace["kp_pred"].shape == (30, 2, 2, 2)
+        assert trace["cam"].shape == (30, 2, 7)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(trace["cam"][..., 3:7]), axis=-1), 1.0,
+            atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cam_tr), np.asarray(cam_out2),
+                                   atol=1e-5)
 
 
 if __name__ == "__main__":
