@@ -18,6 +18,12 @@ flags.DEFINE_integer("max_eval_iter", 0, "max eval batches (0 = all)")
 flags.DEFINE_float("padding_frac", 0.05, "bbox padding fraction")
 flags.DEFINE_integer("save_visuals", 0, "save PNG panels for first N batches")
 flags.DEFINE_string("results_dir", "cachedir/evaluation", "output dir")
+flags.DEFINE_string(
+    "load_torch_checkpoint", "",
+    "path to a reference pred_net_<epoch>.pth (torch MeshNet state dict, "
+    "monocular/nnutils/train_utils.py:83-102); loaded instead of the orbax "
+    "checkpoint. Template/config flags must match the checkpoint's.",
+)
 
 
 def main(_):
@@ -35,7 +41,15 @@ def main(_):
     template = build_cub_template(cfg)
     mods, tx, state = monocular.build(cfg, template, jax.random.PRNGKey(0))
     label = FLAGS.num_train_epoch if FLAGS.num_train_epoch > 0 else "latest"
-    if checkpoints.exists(FLAGS.checkpoint_dir, FLAGS.name, label):
+    if FLAGS.load_torch_checkpoint:
+        from ..models.torch_import import load_reference_meshnet
+
+        params, batch_stats = load_reference_meshnet(
+            state.params, state.batch_stats, FLAGS.load_torch_checkpoint
+        )
+        state = dataclasses.replace(state, params=params, batch_stats=batch_stats)
+        print(f"loaded torch checkpoint {FLAGS.load_torch_checkpoint}")
+    elif checkpoints.exists(FLAGS.checkpoint_dir, FLAGS.name, label):
         state = checkpoints.restore(
             FLAGS.checkpoint_dir, FLAGS.name, label, state, strict=False
         )
