@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.static_sample import make_static_bilinear
-from .nn_blocks import ResLayer2d, conv3x3, upsample2x
+from .nn_blocks import ResLayer2d, apply_conv3x3, conv3x3, upsample2x
 
 
 def atlas_image_size(num_faces: int, tex_size: int) -> tuple[int, int]:
@@ -45,15 +45,21 @@ class TexturePredictorUV(nn.Module):
             method="bilinear",
         )
         # ResLayer/upsample pyramid (mesh_net.py:157-163): 4x8 -> 128x256.
+        # The <=32-channel tail runs 2x2 space-to-depth folded (exact
+        # identity, see nn_blocks.apply_conv3x3): unfolded, these convs
+        # use 16-32 of the MXU's 128 lanes (~4% peak, the round-4
+        # roofline's decoder-tail row); folded they run 128-lane dense.
         plan = [
-            (256, True), (256, False), (256, True),
-            (128, True), (64, True), (32, True), (16, False),
+            (256, True, 1), (256, False, 1), (256, True, 1),
+            (128, True, 1), (64, True, 1), (32, True, 2), (16, False, 2),
         ]
-        for feats, up in plan:
-            x = ResLayer2d(feats, dtype=self.dtype)(x, train=train)
+        for feats, up, fold in plan:
+            x = ResLayer2d(feats, dtype=self.dtype, fold=fold)(x, train=train)
             if up:
                 x = upsample2x(x)
-        uvimage = conv3x3(3, dtype=self.dtype)(x)  # (B, H, 2H, 3)
+        uvimage = apply_conv3x3(
+            conv3x3(3, dtype=self.dtype), x, fold=2
+        )  # (B, H, 2H, 3)
 
         # static-coordinate bilinear sampling: scatter-free VJP (the
         # generic grid_sample backward was the step's top cost on TPU)

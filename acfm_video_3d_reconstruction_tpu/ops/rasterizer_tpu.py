@@ -930,6 +930,65 @@ def hard_rasterize_tpu(
     )
 
 
+# transient budget for the one-hot atlas matmuls, in (view, tile) pairs
+# vectorized per chunk. 512 = the measured B=16 x 32-tile sweet spot: big
+# enough that the (pairs, P, K) one-hot einsum keeps the MXU pipelined,
+# small enough that the bf16 transient stays a few hundred MB. Above it
+# we lax.map over tile-chunks (each chunk still fully vectorized) instead
+# of the old fully tile-sequential path, which at B>16 serialized T=32
+# small matmuls and cost batch-24 ~5% throughput (bench.py round-4 note).
+_ATLAS_PAIR_BUDGET = 512
+
+
+def _atlas_matmul(slot_flat, atlas_slots, cell, K, ncell, C,
+                  pair_budget=_ATLAS_PAIR_BUDGET):
+    """One-hot gather-as-matmul over (B views, T tiles), chunk-bounded.
+
+    slot_flat (B, T, P) int, atlas_slots (B, T, K, ncell*C), cell (B, T, P)
+    -> (B, T, P, C). Chunks the tile axis so each vectorized einsum sees at
+    most `pair_budget` (view, tile) pairs; B*T <= budget is one shot.
+    """
+    B, T, P = slot_flat.shape
+
+    def per_pairs(args):
+        slots_t, atlas_t, cell_t = args  # (n, P), (n, K, m), (n, P)
+        hot = (
+            (slots_t[..., None] == jnp.arange(K, dtype=jnp.int32))
+            & (slots_t >= 0)[..., None]
+        ).astype(jnp.bfloat16)
+        tmp = jnp.einsum("bpk,bkm->bpm", hot, atlas_t.astype(jnp.bfloat16))
+        chot = (
+            cell_t[..., None] == jnp.arange(ncell, dtype=jnp.int32)
+        ).astype(jnp.bfloat16)
+        return jnp.einsum(
+            "bpnc,bpn->bpc", tmp.reshape(-1, P, ncell, C), chot
+        )
+
+    tc = max(1, min(T, pair_budget // max(B, 1)))
+    while T % tc:
+        tc -= 1
+    if tc == T:
+        return per_pairs(
+            (slot_flat.reshape(B * T, P),
+             atlas_slots.reshape(B * T, K, -1),
+             cell.reshape(B * T, P))
+        ).reshape(B, T, P, C)
+
+    nchunk = T // tc
+
+    def chunkify(x):
+        x = x.reshape((B, nchunk, tc) + x.shape[2:])
+        x = jnp.moveaxis(x, 1, 0)
+        return x.reshape((nchunk, B * tc) + x.shape[3:])
+
+    rgb = jax.lax.map(
+        per_pairs,
+        (chunkify(slot_flat), chunkify(atlas_slots), chunkify(cell)),
+    )  # (nchunk, B*tc, P, C)
+    rgb = rgb.reshape(nchunk, B, tc, P, C)
+    return jnp.moveaxis(rgb, 0, 1).reshape(B, T, P, C)
+
+
 def sample_atlas_binned(atlas: jax.Array, frags: TPUFragments, image_size: int):
     """Per-face atlas sampling as per-tile one-hot matmuls (MXU path).
 
@@ -960,35 +1019,7 @@ def sample_atlas_binned(atlas: jax.Array, frags: TPUFragments, image_size: int):
     i1 = jnp.clip((b1.reshape(B, T, P) * Ts).astype(jnp.int32), 0, Ts - 1)
     cell = i0 * Ts + i1  # (B, T, P)
 
-    def per_tile(args):
-        slots_t, atlas_t, cell_t = args  # (B, P), (B, K, m), (B, P)
-        hot = (
-            (slots_t[..., None] == jnp.arange(K, dtype=jnp.int32))
-            & (slots_t >= 0)[..., None]
-        ).astype(jnp.bfloat16)
-        tmp = jnp.einsum("bpk,bkm->bpm", hot, atlas_t.astype(jnp.bfloat16))
-        chot = (
-            cell_t[..., None] == jnp.arange(ncell, dtype=jnp.int32)
-        ).astype(jnp.bfloat16)
-        return jnp.einsum(
-            "bpnc,bpn->bpc", tmp.reshape(-1, P, ncell, C), chot
-        )
-
-    if B <= 16:
-        # vectorized over tiles: fastest, O(B*T*P*K) one-hot transient
-        rgb = per_tile(
-            (slot_flat.reshape(B * T, P), atlas_slots.reshape(B * T, K, -1),
-             cell.reshape(B * T, P))
-        ).reshape(B, T, P, C)
-    else:
-        # tile-sequential matmuls bound memory to O(B*P*K): the multiplex
-        # trainer renders G*B*T views at once (64+ at G=8).
-        rgb = jax.lax.map(
-            per_tile,
-            (jnp.swapaxes(slot_flat, 0, 1), jnp.swapaxes(atlas_slots, 0, 1),
-             jnp.swapaxes(cell, 0, 1)),
-        )  # (T, B, P, C)
-        rgb = jnp.swapaxes(rgb, 0, 1)
+    rgb = _atlas_matmul(slot_flat, atlas_slots, cell, K, ncell, C)
     rgb = rgb.astype(jnp.float32)
     rgb = jnp.where(covered[..., None], rgb, 0.0)
 

@@ -76,6 +76,62 @@ class TestTexture:
         )
 
 
+class TestFoldedConv:
+    """apply_conv3x3(fold=2) is an exact weight-level identity for a 3x3
+    stride-1 SAME conv (space-to-depth layout, zero borders included)."""
+
+    def test_fold2_matches_direct(self):
+        import flax.linen as nn
+
+        from acfm_video_3d_reconstruction_tpu.models.nn_blocks import (
+            apply_conv3x3, conv3x3,
+        )
+
+        class Pair(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                conv = conv3x3(5)
+                return conv(x), apply_conv3x3(conv, x, fold=2)
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 12, 7))
+        y_direct, y_fold = Pair().init_with_output(jax.random.PRNGKey(1), x)[0]
+        np.testing.assert_allclose(
+            np.asarray(y_fold), np.asarray(y_direct), atol=1e-5, rtol=1e-5
+        )
+
+    def test_fold2_param_tree_unchanged(self):
+        from acfm_video_3d_reconstruction_tpu.models.nn_blocks import ResLayer2d
+
+        x = jnp.ones((1, 8, 8, 6))
+        v_plain = ResLayer2d(6).init(jax.random.PRNGKey(0), x)
+        v_fold = ResLayer2d(6, fold=2).init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(v_plain) == (
+            jax.tree_util.tree_structure(v_fold)
+        )
+        y_p = ResLayer2d(6).apply(v_plain, x)
+        y_f = ResLayer2d(6, fold=2).apply(v_plain, x)
+        np.testing.assert_allclose(
+            np.asarray(y_f), np.asarray(y_p), atol=1e-5, rtol=1e-5
+        )
+
+    def test_odd_spatial_falls_back(self):
+        import flax.linen as nn
+
+        from acfm_video_3d_reconstruction_tpu.models.nn_blocks import (
+            apply_conv3x3, conv3x3,
+        )
+
+        class Pair(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                conv = conv3x3(4)
+                return conv(x), apply_conv3x3(conv, x, fold=2)
+
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 9, 3))
+        y_direct, y_fold = Pair().init_with_output(jax.random.PRNGKey(3), x)[0]
+        np.testing.assert_array_equal(np.asarray(y_fold), np.asarray(y_direct))
+
+
 class TestMeshNet:
     def test_forward_and_state(self, template):
         net = MeshNet(template=template, nz_feat=64, predict_texture=False)

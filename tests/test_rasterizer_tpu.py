@@ -101,6 +101,29 @@ class TestBinnedAtlas:
         g2 = np.asarray(jax.grad(loss_bin)(atlas))
         np.testing.assert_allclose(g2, g1, atol=0.05, rtol=2e-2)
 
+    def test_chunked_matmul_matches_one_shot(self):
+        """The tile-chunked path (view count above _ATLAS_PAIR_BUDGET)
+        is bit-identical to the fully vectorized one-shot path, values
+        and atlas gradients."""
+        rng = np.random.default_rng(3)
+        B, T, P, K, ncell, C = 5, 8, 64, 12, 4, 3
+        slot = jnp.asarray(rng.integers(-1, K, (B, T, P)), jnp.int32)
+        cell = jnp.asarray(rng.integers(0, ncell, (B, T, P)), jnp.int32)
+        slots = jnp.asarray(rng.random((B, T, K, ncell * C)), jnp.float32)
+
+        def run(budget, s):
+            return tpu._atlas_matmul(slot, s, cell, K, ncell, C,
+                                     pair_budget=budget)
+
+        one = run(B * T, slots)           # single-shot
+        for budget in (B, 2 * B, 4 * B):  # tc = 1, 2, 4 tile chunks
+            np.testing.assert_array_equal(
+                np.asarray(run(budget, slots)), np.asarray(one)
+            )
+        g_one = jax.grad(lambda s: (run(B * T, s) ** 2).sum())(slots)
+        g_chk = jax.grad(lambda s: (run(B, s) ** 2).sum())(slots)
+        np.testing.assert_array_equal(np.asarray(g_chk), np.asarray(g_one))
+
 
 class TestBackwardParity:
     @pytest.mark.heavy

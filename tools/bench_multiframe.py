@@ -1,5 +1,10 @@
 """Multiframe flagship step benchmark: G hypotheses x B clips x T frames,
-full multiplex loss matrix + soft-min + Adam, one chip."""
+full multiplex loss matrix + soft-min + Adam, one chip.
+
+Reference hot loop being measured: multiframe/main.py:523-765 (all G
+camera hypotheses rendered + losses + soft-min writeback per step).
+"""
+import argparse
 import dataclasses
 import json
 import sys
@@ -15,7 +20,13 @@ from acfm_video_3d_reconstruction_tpu import config as cfg_lib
 from acfm_video_3d_reconstruction_tpu.models import build_template
 from acfm_video_3d_reconstruction_tpu.train import multiframe as mf
 
-B, T, G, IMG = 4, 2, 8, 256
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--batch", type=int, default=4, help="B clips")
+_ap.add_argument("--frames", type=int, default=2, help="T frames/clip")
+_ap.add_argument("--guesses", type=int, default=8, help="G camera hypotheses")
+_ap.add_argument("--img", type=int, default=256)
+_args = _ap.parse_args()
+B, T, G, IMG = _args.batch, _args.frames, _args.guesses, _args.img
 
 
 def main():

@@ -196,6 +196,50 @@ def run_eval(o, extra):
     }
 
 
+def _format_table(args, before, res, dt, partial=False):
+    """Render the 8-column results table (nan -> 'n/a' for pending cols)."""
+
+    def cell(d, k):
+        v = d[k]
+        return "n/a" if v != v else f"{v:.3f}"
+
+    rows = []
+    for label, k in (("mean mask IoU", "mean_iou"), ("PCK@0.1", "pck_0.1"),
+                     ("PCK@0.15", "pck_0.15")):
+        rows.append(
+            f"| {label} | {cell(before, k)} | {cell(res['after'], k)} "
+            f"| {cell(res['tto'], k)} | {cell(res['tto_cam'], k)} "
+            f"| {cell(res['train_argmax'], k)} "
+            f"| {cell(res['train_reg'], k)} "
+            f"| {cell(res['gtcam'], k)} "
+            f"| {cell(res['gtcam_al'], k)} |"
+        )
+    head = (
+        "\n## Mini-TigDog multiframe parity run (tools/mini_tigdog_parity.py)"
+        + (" — PARTIAL (evals still running at snapshot time)" if partial
+           else "") + "\n\n"
+        "Multiframe pipeline end-to-end on a re-generated mini-TigDog pkl tree "
+        "in the reference's exact per-video schema (real TigDog videos are not "
+        "available in this environment): VideoPklDataset (deterministic "
+        "14-video test split) -> cache exploding -> MultiFrameDataset -> "
+        f"camera-multiplex warmup + {args.epochs} epochs (batch 4 clips x 2 "
+        f"frames, {IMG}^2) -> benchmark evaluation per "
+        "multiframe/benchmark/evaluate.py:227-245 (frame-0 IoU, pixel PCK), "
+        "with and without test-time optimization.\n\n"
+        "| metric | random init | trained | trained + TTO | + TTO(shape+camera) | train split (argmax mpx) | train split (regressed cam) | held-out, GT camera (diagnostic) | held-out, gauge-aligned GT camera |\n"
+        "|---|---|---|---|---|---|---|---|---|\n"
+    )
+    tail = (
+        f"\ntrain wall-clock {dt:.1f}s. The reference publishes no multiframe "
+        "IoU/PCK numbers in-repo (its benchmark prints them per run, "
+        "monocular CUB PCK@0.1=0.915 is the only published metric); this run "
+        "demonstrates the identical multiframe pipeline (schema, split, "
+        "multiplex warmup, TTO, eval) converging on schema-faithful "
+        "synthetic clips with known GT.\n"
+    )
+    return head + "\n".join(rows) + "\n" + tail
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=40)
@@ -218,6 +262,10 @@ def main():
                     help="reuse an existing generated pkl tree under --root "
                          "but retrain from scratch (generation dominates "
                          "wall-clock at --videos >> 60 on the tunneled chip)")
+    ap.add_argument("--skip_before", action="store_true",
+                    help="skip the random-init eval column (~15 min of "
+                         "wall-clock; its value is documented in the "
+                         "recorded run-A/B tables)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (sets ACFM_FORCE_CPU for "
                          "this process and the evaluate-CLI subprocesses; "
@@ -275,94 +323,62 @@ def main():
         save_latest_freq=200,
     )
 
+    nan = {"mean_iou": float("nan"), "pck_0.1": float("nan"),
+           "pck_0.15": float("nan")}
     if args.skip_train:
-        before = {"mean_iou": float("nan"), "pck_0.1": float("nan"),
-                  "pck_0.15": float("nan")}
+        before = dict(nan)
         dt = 0.0
     else:
-        before = run_eval(o, [])
-        print("before (random init):", before, flush=True)
+        if args.skip_before:
+            before = dict(nan)
+        else:
+            before = run_eval(o, [])
+            print("before (random init):", before, flush=True)
 
         t0 = time.perf_counter()
         cli.train(o)
         dt = time.perf_counter() - t0
         print(f"trained {args.epochs} epochs in {dt:.1f}s", flush=True)
 
-    after = run_eval(o, [])
-    print("after (regressed cam):", after, flush=True)
-    after_tto = run_eval(
-        o, ["--optimize", "--num_optim_iter", str(args.num_optim_iter)]
-    )
-    print("after + TTO:", after_tto, flush=True)
-    # TTO over shape AND camera — the reference's own tiger recipe
-    # (docs/setup_video.md: --optimize --optimize_camera --num_optim_iter 50)
-    after_tto_cam = run_eval(
-        o, ["--optimize", "--optimize_camera",
-            "--num_optim_iter", str(args.num_optim_iter)]
-    )
-    print("after + TTO(shape+camera):", after_tto_cam, flush=True)
-    # train-split fit through the argmax multiplex camera (the reference
-    # benchmark's train-split mode, predictor.py:239-252) — isolates multiplex
-    # + shape convergence from camera-regressor generalization
-    after_train = run_eval(o, ["--split", "train", "--use_argmax_camera"])
-    print("train split (argmax multiplex):", after_train, flush=True)
-    # train-split fit through the REGRESSED camera — against the argmax
-    # column this separates "the camera regressor is weak even on frames it
-    # trained on (distillation gap)" from "held-out videos are harder
-    # (generalization gap)"
-    after_train_reg = run_eval(o, ["--split", "train"])
-    print("train split (regressed cam):", after_train_reg, flush=True)
-    # held-out PCK ceiling with a perfect camera (diagnostic, no reference
-    # analog): if this is high while the predicted-camera PCK is low, the
-    # held-out gap is camera-regressor generalization, not shape quality
-    after_gtcam = run_eval(o, ["--use_gt_camera"])
-    print("held-out, GT camera (diagnostic ceiling):", after_gtcam, flush=True)
-    # gauge-invariant GT-camera ceiling: the multiplex fixes shape+cameras
-    # only up to a global similarity, so raw GT cameras understate the
-    # ceiling once the learned canonical frame drifts; Kabsch-align the
-    # learned mean shape to the GT template and correct the GT cameras
-    after_gtcam_al = run_eval(o, ["--use_gt_camera", "--gauge_align"])
-    print("held-out, gauge-aligned GT camera:", after_gtcam_al, flush=True)
-
-    table = (
-        "\n## Mini-TigDog multiframe parity run (tools/mini_tigdog_parity.py)\n\n"
-        "Multiframe pipeline end-to-end on a re-generated mini-TigDog pkl tree "
-        "in the reference's exact per-video schema (real TigDog videos are not "
-        "available in this environment): VideoPklDataset (deterministic "
-        "14-video test split) -> cache exploding -> MultiFrameDataset -> "
-        f"camera-multiplex warmup + {args.epochs} epochs (batch 4 clips x 2 "
-        f"frames, {IMG}^2) -> benchmark evaluation per "
-        "multiframe/benchmark/evaluate.py:227-245 (frame-0 IoU, pixel PCK), "
-        "with and without test-time optimization.\n\n"
-        "| metric | random init | trained | trained + TTO | + TTO(shape+camera) | train split (argmax mpx) | train split (regressed cam) | held-out, GT camera (diagnostic) | held-out, gauge-aligned GT camera |\n"
-        "|---|---|---|---|---|---|---|---|---|\n"
-        f"| mean mask IoU | {before['mean_iou']:.3f} | {after['mean_iou']:.3f} "
-        f"| {after_tto['mean_iou']:.3f} | {after_tto_cam['mean_iou']:.3f} "
-        f"| {after_train['mean_iou']:.3f} "
-        f"| {after_train_reg['mean_iou']:.3f} "
-        f"| {after_gtcam['mean_iou']:.3f} "
-        f"| {after_gtcam_al['mean_iou']:.3f} |\n"
-        f"| PCK@0.1 | {before['pck_0.1']:.3f} | {after['pck_0.1']:.3f} "
-        f"| {after_tto['pck_0.1']:.3f} | {after_tto_cam['pck_0.1']:.3f} "
-        f"| {after_train['pck_0.1']:.3f} "
-        f"| {after_train_reg['pck_0.1']:.3f} "
-        f"| {after_gtcam['pck_0.1']:.3f} "
-        f"| {after_gtcam_al['pck_0.1']:.3f} |\n"
-        f"| PCK@0.15 | {before['pck_0.15']:.3f} | {after['pck_0.15']:.3f} "
-        f"| {after_tto['pck_0.15']:.3f} | {after_tto_cam['pck_0.15']:.3f} "
-        f"| {after_train['pck_0.15']:.3f} "
-        f"| {after_train_reg['pck_0.15']:.3f} "
-        f"| {after_gtcam['pck_0.15']:.3f} "
-        f"| {after_gtcam_al['pck_0.15']:.3f} |\n\n"
-        f"train wall-clock {dt:.1f}s. The reference publishes no multiframe "
-        "IoU/PCK numbers in-repo (its benchmark prints them per run, "
-        "monocular CUB PCK@0.1=0.915 is the only published metric); this run "
-        "demonstrates the identical multiframe pipeline (schema, split, "
-        "multiplex warmup, TTO, eval) converging on schema-faithful "
-        "synthetic clips with known GT.\n"
-    )
+    # Eval plan, highest-diagnostic-value first, with an incremental
+    # partial table rewritten after every column: a wall-clock cutoff
+    # mid-evals then still leaves the key columns on disk.
+    # - gtcam_al: gauge-invariant GT-camera ceiling — the multiplex fixes
+    #   shape+cameras only up to a global similarity, so raw GT cameras
+    #   understate the ceiling once the learned canonical frame drifts;
+    #   Kabsch-align the learned mean shape to the GT template and
+    #   correct the GT cameras.
+    # - tto_cam: TTO over shape AND camera — the reference's own tiger
+    #   recipe (docs/setup_video.md: --optimize --optimize_camera).
+    # - train argmax: train-split fit through the argmax multiplex camera
+    #   (reference benchmark's train-split mode, predictor.py:239-252) —
+    #   isolates multiplex/shape convergence from camera generalization.
+    # - train reg: train split through the REGRESSED camera — vs argmax
+    #   separates distillation gap from held-out generalization gap.
+    # - gtcam: raw GT-camera diagnostic (no gauge correction).
+    plan = [
+        ("after", "trained", []),
+        ("gtcam_al", "held-out, gauge-aligned GT camera",
+         ["--use_gt_camera", "--gauge_align"]),
+        ("tto_cam", "trained + TTO(shape+camera)",
+         ["--optimize", "--optimize_camera",
+          "--num_optim_iter", str(args.num_optim_iter)]),
+        ("tto", "trained + TTO",
+         ["--optimize", "--num_optim_iter", str(args.num_optim_iter)]),
+        ("train_argmax", "train split (argmax multiplex)",
+         ["--split", "train", "--use_argmax_camera"]),
+        ("gtcam", "held-out, GT camera (diagnostic)", ["--use_gt_camera"]),
+        ("train_reg", "train split (regressed cam)", ["--split", "train"]),
+    ]
+    res = {key: dict(nan) for key, _, _ in plan}
+    partial_path = args.out + ".partial.md"
+    for key, label, extra in plan:
+        res[key] = run_eval(o, extra)
+        print(f"{label}: {res[key]}", flush=True)
+        with open(partial_path, "w") as f:
+            f.write(_format_table(args, before, res, dt, partial=True))
     with open(args.out, "a") as f:
-        f.write(table)
+        f.write(_format_table(args, before, res, dt))
     print(f"appended mini-TigDog results to {args.out}")
 
 
