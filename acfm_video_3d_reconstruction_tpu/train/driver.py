@@ -19,7 +19,7 @@ import numpy as np
 
 from .. import config as cfg_lib
 from ..parallel import mesh as pmesh
-from . import checkpoints, metrics_logger, schedules
+from . import checkpoints, metrics_logger, prefetch, schedules
 from . import monocular as mono
 from . import multiframe as mf
 
@@ -119,8 +119,7 @@ def run_monocular_training(
     total_steps = 0
     n_epochs = num_epochs if num_epochs is not None else cfg.train.num_epochs
     for epoch in range(cfg.train.num_pretrain_epochs, n_epochs):
-        for batch in loader:
-            db = to_device(mesh, batch)
+        for db in prefetch.prefetch(loader, lambda b: to_device(mesh, b)):
             state, metrics = step(state, db)
             total_steps += 1
             if total_steps % log_every == 0:
@@ -273,8 +272,8 @@ def run_multiframe_training(
     if tr.warmup and not skip_warmups:
         warm_step = mf.make_warmup_step(mods, tx_warm, face_chunk=face_chunk)
         for _ in range(tr.num_reps):
-            for batch in loader:
-                state, wm = warm_step(state, prep(batch))
+            for db in prefetch.prefetch(loader, prep):
+                state, wm = warm_step(state, db)
                 total_steps += 1
                 if total_steps % log_every == 0:
                     logger.log(-1, total_steps, jax.device_get(wm))
@@ -283,8 +282,7 @@ def run_multiframe_training(
     if tr.texture_warmup and not skip_warmups:
         tex_k = 1 if tr.use_gtpose else mp.num_guesses
         tex_step = get_step(tex_k, drop_deform=True, use_gtpose=tr.use_gtpose)
-        for batch in loader:
-            db = prep(batch)
+        for db in prefetch.prefetch(loader, prep):
             for _ in range(tr.tex_num_reps):
                 state, m = tex_step(state, db)
                 total_steps += 1
@@ -300,8 +298,7 @@ def run_multiframe_training(
             epoch, mp.num_guesses, mp.drop_hypothesis, use_gt
         )
         step = get_step(k, drop_deform=True, use_gtpose=use_gt)
-        for batch in loader:
-            db = prep(batch)
+        for db in prefetch.prefetch(loader, prep):
             new_state, metrics = step(state, db)
             if nan_dump:
                 # metrics NaN at step N => params were poisoned by the
